@@ -1,0 +1,92 @@
+"""Homomorphic evaluation: add/sub/negate, plain add/multiply.
+
+Covers the evaluator surface the reference protocol uses
+(``/root/reference/src/demo.cc:154-160``: add_plain, multiply_plain, add, sub).
+All ops are pure functions over Ciphertext pytrees — jit/vmap/shard_map ready.
+multiply_plain transforms the ciphertext per-op (SEAL BFV convention) but the
+plaintext NTT + Shoup precompute is shared across both ct components.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import ntt
+from .ciphertext import Ciphertext
+from .context import BFVContext
+from .keys import _shoup
+from .plaintext import Plaintext
+
+__all__ = ["Evaluator"]
+
+
+class Evaluator:
+    def __init__(self, ctx: BFVContext):
+        self.ctx = ctx
+
+    # -- ct (+|-) ct ----------------------------------------------------
+
+    def _zip(self, a: Ciphertext, b: Ciphertext, fn):
+        assert a.domain == b.domain
+        k = max(a.size, b.size)
+        q2 = self.ctx.tables.q_b(1)
+        p = self.ctx.prof
+        polys = []
+        for i in range(k):
+            if i >= a.size:
+                polys.append(b.polys[i] if fn is p.add else p.neg(b.polys[i], q2))
+            elif i >= b.size:
+                polys.append(a.polys[i])
+            else:
+                polys.append(fn(a.polys[i], b.polys[i], q2))
+        return Ciphertext(polys=tuple(polys), domain=a.domain)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._zip(a, b, self.ctx.prof.add)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self._zip(a, b, self.ctx.prof.sub)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        p, q2 = self.ctx.prof, self.ctx.tables.q_b(1)
+        return Ciphertext(tuple(p.neg(c, q2) for c in a.polys), a.domain)
+
+    # -- ct (+|-) plain -------------------------------------------------
+
+    def _plain_pairs(self, plain):
+        if isinstance(plain, Plaintext):
+            lo, hi = plain.pair_u32(self.ctx.n)
+            return jnp.asarray(lo), jnp.asarray(hi)
+        return plain  # already (lo, hi) arrays
+
+    def add_plain(self, a: Ciphertext, plain) -> Ciphertext:
+        assert a.domain == "coeff"
+        m_lo, m_hi = self._plain_pairs(plain)
+        term = self.ctx.scale_plain(m_lo, m_hi)
+        p, q2 = self.ctx.prof, self.ctx.tables.q_b(1)
+        return Ciphertext((p.add(a.polys[0], term, q2),) + a.polys[1:], a.domain)
+
+    def sub_plain(self, a: Ciphertext, plain) -> Ciphertext:
+        assert a.domain == "coeff"
+        m_lo, m_hi = self._plain_pairs(plain)
+        term = self.ctx.scale_plain(m_lo, m_hi)
+        p, q2 = self.ctx.prof, self.ctx.tables.q_b(1)
+        return Ciphertext((p.sub(a.polys[0], term, q2),) + a.polys[1:], a.domain)
+
+    # -- ct * plain -----------------------------------------------------
+
+    def multiply_plain(self, a: Ciphertext, plain) -> Ciphertext:
+        """a * m where m is an un-scaled plaintext poly (centered lift)."""
+        assert a.domain == "coeff"
+        ctx = self.ctx
+        m_lo, m_hi = self._plain_pairs(plain)
+        m_rq = ctx.lift_plain_centered(m_lo, m_hi)
+        m_ntt = ntt.forward(m_rq, ctx.tables)
+        m_shoup = _shoup(ctx, m_ntt)
+        p, q2 = ctx.prof, ctx.tables.q_b(1)
+        polys = []
+        for c in a.polys:
+            c_ntt = ntt.forward(c, ctx.tables)
+            prod = p.mulmod_shoup(c_ntt, m_ntt, m_shoup, q2)
+            polys.append(ntt.inverse(prod, ctx.tables))
+        return Ciphertext(tuple(polys), "coeff")

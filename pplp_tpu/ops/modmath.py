@@ -223,6 +223,22 @@ class m31:
         lo, hi = mul32(x, y)
         return m31.reduce64(lo, hi, q, mu_lo, mu_hi)
 
+    @staticmethod
+    def shoup_precompute(w, q, mu_lo, mu_hi):
+        """Device computation of floor(w * 2^32 / q) for w in [0, q).
+
+        Barrett estimate from (w << 32) * mu with exact correction steps.
+        """
+        zero = jnp.zeros_like(w)
+        prod = comba_mul([zero, w], [mu_lo, mu_hi])
+        est = prod[2]
+        r = zero - est * q  # (w<<32) - est*q mod 2^32; true value < 3q < 2^32
+        for _ in range(2):
+            ge = r >= q
+            est = est + ge.astype(jnp.uint32)
+            r = r - jnp.where(ge, q, 0).astype(jnp.uint32)
+        return est
+
 
 # ---------------------------------------------------------------------------
 # Profile m62: q < 2^62, residue = (lo, hi) uint32 pair.
@@ -324,3 +340,19 @@ class m62:
     def mulmod(x, y, q, ratio):
         z = comba_mul([x[0], x[1]], [y[0], y[1]])  # 4 limbs
         return m62.reduce128(z, q, ratio)
+
+    @staticmethod
+    def shoup_precompute(w, q, ratio):
+        """Device computation of floor(w * 2^64 / q) for w in [0, q)."""
+        zero = jnp.zeros_like(w[0])
+        prod = comba_mul([zero, zero, w[0], w[1]], list(ratio))
+        est = (prod[4], prod[5])
+        eq = comba_mul([est[0], est[1]], [q[0], q[1]], out_limbs=2)
+        r = m62._sub_raw((zero, zero), (eq[0], eq[1]))
+        for _ in range(2):
+            ge = m62._geq(r, q)
+            inc_lo = est[0] + ge.astype(jnp.uint32)
+            est = (inc_lo, est[1] + (inc_lo < est[0]).astype(jnp.uint32))
+            d = m62._sub_raw(r, q)
+            r = (jnp.where(ge, d[0], r[0]), jnp.where(ge, d[1], r[1]))
+        return est

@@ -92,9 +92,17 @@ def build_tables(moduli: Sequence[Modulus], n: int) -> NttTables:
     logn = n.bit_length() - 1
     assert 1 << logn == n
     profile = "m31" if all(m.value < (1 << 30) for m in moduli) else "m62"
+    if profile == "m62":
+        # Barrett ratio floor(2^128/q) must fit 3 u32 limbs (q >= 2^32), and
+        # 2q < 2^63 for wrap-free conditional subtracts.
+        assert all(1 << 32 <= m.value < 1 << 62 for m in moduli), (
+            "m62 profile requires all primes in [2^32, 2^62); do not mix "
+            "sub-30-bit primes into a wide chain"
+        )
     nlimb = 1 if profile == "m31" else 2
     shoup_bits = 32 if profile == "m31" else 64
 
+    brv = [_bitrev(k, logn) for k in range(n)]
     w_rows, ws_rows, iw_rows, iws_rows = [], [], [], []
     n_inv_l, n_inv_s_l, q_l, mu_l = [], [], [], []
     for mod in moduli:
@@ -102,8 +110,12 @@ def build_tables(moduli: Sequence[Modulus], n: int) -> NttTables:
         assert (q - 1) % (2 * n) == 0, "prime not NTT-friendly for this n"
         psi = mod.minimal_primitive_root(2 * n)
         psi_inv = pow(psi, -1, q)
-        w_row = [pow(psi, _bitrev(k, logn), q) for k in range(n)]
-        iw_row = [pow(psi_inv, _bitrev(k, logn), q) for k in range(n)]
+        pw, ipw = [1] * n, [1] * n
+        for k in range(1, n):
+            pw[k] = pw[k - 1] * psi % q
+            ipw[k] = ipw[k - 1] * psi_inv % q
+        w_row = [pw[brv[k]] for k in range(n)]
+        iw_row = [ipw[brv[k]] for k in range(n)]
         w_rows.append(w_row)
         iw_rows.append(iw_row)
         ws_rows.append([mod.shoup(v, shoup_bits) for v in w_row])
