@@ -1,0 +1,106 @@
+"""Stable binary wire/checkpoint format for parameters and ciphertexts.
+
+The reference ships SEAL's opaque streams over the socket
+(``parms.save``/``ct.save``, ``/root/reference/src/client.cc:92-123``); this
+framework defines its own versioned little-endian format (SURVEY.md §5
+"checkpoint/resume": the wire serialization *is* the persistence format and
+must be stable across hosts).
+
+Coefficient packing: per-limb residues are packed to the minimal byte width of
+the limb's modulus (SEAL-style compactness) rather than 8 bytes each.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..ops import ntt
+from .ciphertext import Ciphertext
+from .context import BFVContext
+from .params import SCHEME_BFV, EncryptionParameters
+
+__all__ = [
+    "save_parms",
+    "load_parms",
+    "save_ciphertext",
+    "load_ciphertext",
+]
+
+_MAGIC_PARMS = b"PPLPprm1"
+_MAGIC_CT = b"PPLPctx1"
+
+
+def save_parms(parms: EncryptionParameters) -> bytes:
+    out = [
+        _MAGIC_PARMS,
+        struct.pack(
+            "<BQQH",
+            0 if parms.scheme == SCHEME_BFV else 255,
+            parms.poly_modulus_degree,
+            parms.plain_modulus,
+            len(parms.coeff_modulus),
+        ),
+    ]
+    for q in parms.coeff_modulus:
+        out.append(struct.pack("<Q", q))
+    return b"".join(out)
+
+
+def load_parms(buf: bytes) -> EncryptionParameters:
+    assert buf[:8] == _MAGIC_PARMS, "bad parms magic"
+    scheme, n, t, L = struct.unpack_from("<BQQH", buf, 8)
+    off = 8 + struct.calcsize("<BQQH")
+    chain = struct.unpack_from(f"<{L}Q", buf, off)
+    return EncryptionParameters(
+        SCHEME_BFV if scheme == 0 else "?", n, tuple(chain), t
+    )
+
+
+def _limb_widths(ctx: BFVContext) -> list[int]:
+    return [(m.bit_count + 7) // 8 for m in ctx.moduli]
+
+
+def _pack_residues(res: np.ndarray, widths) -> bytes:
+    """res: u64 [L, n] -> per-limb minimal-width little-endian bytes."""
+    parts = []
+    for li, w in enumerate(widths):
+        full = res[li].astype("<u8").tobytes()
+        b = np.frombuffer(full, np.uint8).reshape(-1, 8)[:, :w]
+        parts.append(b.tobytes())
+    return b"".join(parts)
+
+
+def _unpack_residues(buf: bytes, off: int, n: int, widths) -> tuple[np.ndarray, int]:
+    rows = []
+    for w in widths:
+        raw = np.frombuffer(buf, np.uint8, n * w, off).reshape(n, w)
+        full = np.zeros((n, 8), np.uint8)
+        full[:, :w] = raw
+        rows.append(np.frombuffer(full.tobytes(), "<u8"))
+        off += n * w
+    return np.stack(rows), off
+
+
+def save_ciphertext(ct: Ciphertext, ctx: BFVContext) -> bytes:
+    assert ct.domain == "coeff"
+    widths = _limb_widths(ctx)
+    out = [_MAGIC_CT, struct.pack("<QHB", ctx.n, ctx.L, ct.size)]
+    for poly in ct.polys:
+        res = ntt.to_numpy(poly, ctx.tables)
+        out.append(_pack_residues(res, widths))
+    return b"".join(out)
+
+
+def load_ciphertext(buf: bytes, ctx: BFVContext) -> Ciphertext:
+    assert buf[:8] == _MAGIC_CT, "bad ciphertext magic"
+    n, L, k = struct.unpack_from("<QHB", buf, 8)
+    assert n == ctx.n and L == ctx.L, "ciphertext/context mismatch"
+    off = 8 + struct.calcsize("<QHB")
+    widths = _limb_widths(ctx)
+    polys = []
+    for _ in range(k):
+        res, off = _unpack_residues(buf, off, n, widths)
+        polys.append(ntt.to_device(res, ctx.tables))
+    return Ciphertext(tuple(polys), "coeff")

@@ -1,0 +1,12 @@
+"""Privacy primitives: Bloom filter, blinding, proximity key packing."""
+
+from .bloom import BloomParameters, BloomFilter
+from .blinding import Blinding, pack_key, blind_distance_keys
+
+__all__ = [
+    "BloomParameters",
+    "BloomFilter",
+    "Blinding",
+    "pack_key",
+    "blind_distance_keys",
+]

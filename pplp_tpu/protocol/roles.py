@@ -1,0 +1,161 @@
+"""Protocol roles A (client) and B (server) as transport-agnostic sessions.
+
+Message sequence (SURVEY.md §3.2, mirroring client.cc/server.cc):
+
+    client                                server
+      parms ------------------------------->   (raw bytes)
+      ct(u), ct(2xa), ct(2ya) ------------->   (framed)
+      <---------------------- w64 ‖ BF blob    (framed)
+      <------------------- blind-distance ct   (framed)
+      decrypt + BF probe -> near/far
+
+The public key never crosses the wire in the interactive protocol (the server
+only needs ct x plaintext ops) — the "leg" benchmark variant adds a pk message
+for parity with ``test_client_leg`` (``src/test/test_client.cc:130-142``).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import jax
+
+from ..bfv import (
+    BFVContext,
+    Decryptor,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+)
+from ..bfv.serialize import (
+    load_ciphertext,
+    load_parms,
+    save_ciphertext,
+    save_parms,
+)
+from ..primitives import Blinding, BloomFilter, BloomParameters, blind_distance_keys, pack_key
+from ..utils.hexcodec import get_bitlen, hex_string_to_uint, uint64_to_hex_string
+from .config import ProtocolConfig
+
+__all__ = ["ProximityClient", "ProximityServer"]
+
+
+def _rng_key(seed):
+    import secrets
+
+    return jax.random.key(secrets.randbits(62) if seed is None else seed)
+
+
+class ProximityClient:
+    """Role A: owns the keys and coordinates (xa, ya)."""
+
+    def __init__(self, cfg: ProtocolConfig):
+        self.cfg = cfg
+        self._key = _rng_key(cfg.seed)
+        self.parms = cfg.encryption_parameters()
+        self.ctx = BFVContext.build(self.parms)
+        self.is_near: bool | None = None
+        self.blind_distance: int | None = None
+
+    def parms_message(self) -> bytes:
+        return save_parms(self.parms)
+
+    def keygen(self):
+        self._key, sub = jax.random.split(self._key)
+        self.keygenerator = KeyGenerator(self.ctx, sub)
+        self.sk = self.keygenerator.secret_key()
+        self.pk = self.keygenerator.create_public_key()
+        self.encryptor = Encryptor(self.ctx, self.pk)
+        self.decryptor = Decryptor(self.ctx, self.sk)
+
+    def ciphertext_messages(self) -> list[bytes]:
+        """Encrypt u = xa^2 + ya^2, 2*xa, 2*ya (demo.cc:131-140)."""
+        cfg = self.cfg
+        u = cfg.xa * cfg.xa + cfg.ya * cfg.ya
+        blobs = []
+        for value in (u, cfg.xa << 1, cfg.ya << 1):
+            self._key, sub = jax.random.split(self._key)
+            ct = self.encryptor.encrypt(
+                Plaintext(uint64_to_hex_string(value), n=self.ctx.n), sub
+            )
+            blobs.append(save_ciphertext(ct, self.ctx))
+        return blobs
+
+    def receive_bf(self, blob: bytes):
+        (self.w,) = struct.unpack_from("<Q", blob, 0)
+        self.bf = BloomFilter.deserialize(blob[8:])
+
+    def receive_blind_distance(self, blob: bytes) -> bool:
+        ct = load_ciphertext(blob, self.ctx)
+        plain = self.decryptor.decrypt(ct)
+        self.blind_distance = hex_string_to_uint(plain.to_string())
+        key = pack_key(self.blind_distance, self.w, get_bitlen(self.w))
+        self.is_near = self.bf.contains_u64(key)
+        return self.is_near
+
+
+class ProximityServer:
+    """Role B: owns (xb, yb), the blinding values, and the Bloom filter."""
+
+    def __init__(self, cfg: ProtocolConfig, blinding: Blinding | None = None):
+        self.cfg = cfg
+        if blinding is None:
+            if cfg.safe_blinding:
+                blinding = Blinding.for_protocol(
+                    cfg.plain_modulus_bits, cfg.sq_radius, cfg.seed
+                )
+            else:
+                blinding = (
+                    Blinding.sample()
+                    if cfg.seed is None
+                    else Blinding.deterministic(cfg.seed)
+                )
+        self.blinding = blinding
+
+    def receive_parms(self, blob: bytes):
+        self.parms = load_parms(blob)
+        err = self.parms.validate()
+        assert not err, f"received invalid parameters: {err}"
+        self.ctx = BFVContext.build(self.parms)
+        self.evaluator = Evaluator(self.ctx)
+
+    def build_bloom_filter(self):
+        """Hot loop #1: r^2 blinded-key inserts, device-batched."""
+        cfg = self.cfg
+        p = BloomParameters(
+            projected_element_count=cfg.sq_radius,
+            false_positive_probability=cfg.false_positive_probability,
+            random_seed=cfg.bf_seed,
+        )
+        assert p.compute_optimal_parameters()
+        self.bf = BloomFilter(p)
+        for klo, khi in blind_distance_keys(self.blinding, cfg.sq_radius):
+            self.bf.insert_u64_batch(klo, khi)
+
+    def bf_message(self) -> bytes:
+        return struct.pack("<Q", self.blinding.w) + self.bf.serialize()
+
+    def receive_ciphertexts(self, blobs: list[bytes]):
+        self.c1, self.c2, self.c3 = (
+            load_ciphertext(b, self.ctx) for b in blobs
+        )
+
+    def blind_distance_message(self) -> bytes:
+        """Homomorphic blind distance (demo.cc:148-160):
+
+        c1 <- s*(u + z - 2*xa*xb - 2*ya*yb) + s*r = s*(d^2 + r)
+        """
+        cfg, ev, bl = self.cfg, self.evaluator, self.blinding
+        t = self.ctx.t
+        z = cfg.xb * cfg.xb + cfg.yb * cfg.yb
+        hexp = lambda v: Plaintext(uint64_to_hex_string(v % t), n=self.ctx.n)
+        c1 = ev.add_plain(self.c1, hexp(z))
+        c2 = ev.multiply_plain(self.c2, hexp(cfg.xb))
+        c3 = ev.multiply_plain(self.c3, hexp(cfg.yb))
+        c2 = ev.add(c2, c3)
+        c1 = ev.sub(c1, c2)
+        c1 = ev.multiply_plain(c1, hexp(bl.s))
+        c1 = ev.add_plain(c1, hexp(bl.s * bl.r))
+        return save_ciphertext(c1, self.ctx)

@@ -1,0 +1,128 @@
+"""Bloom filter + blinding tests: device batch paths vs exact host semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pplp_tpu.primitives import (
+    Blinding,
+    BloomFilter,
+    BloomParameters,
+    blind_distance_keys,
+    pack_key,
+)
+
+
+def make_bf(count=1000, fpp=1e-4, seed=0xA5A5A5A5):
+    p = BloomParameters(
+        projected_element_count=count,
+        false_positive_probability=fpp,
+        random_seed=seed,
+    )
+    assert p.compute_optimal_parameters()
+    return BloomFilter(p)
+
+
+def test_optimal_parameters_match_reference_math():
+    # fpp=1e-4 -> k=13; table sized to byte multiple (bloomfilter.h:98-151).
+    p = BloomParameters(
+        projected_element_count=10000,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+    )
+    p.compute_optimal_parameters()
+    assert p.number_of_hashes == 13
+    assert p.table_size % 8 == 0
+    # m ~ -k*n / ln(1 - p^(1/k)) at k=13 for n=10000: ~191700 bits.
+    assert 191000 < p.table_size < 193000
+
+
+def test_host_insert_contains_no_false_negatives():
+    bf = make_bf()
+    keys = [k * k + 7 for k in range(500)]
+    for k in keys:
+        bf.insert_u64(k)
+    assert all(bf.contains_u64(k) for k in keys)
+    misses = sum(bf.contains_u64(k + 10**12) for k in keys)
+    assert misses <= 3  # fpp 1e-4: expect ~0
+
+
+def test_device_batch_matches_host_scalar():
+    bf_host = make_bf(count=5000)
+    bf_dev = make_bf(count=5000)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 1 << 64, size=3000, dtype=np.uint64)
+    for k in keys:
+        bf_host.insert_u64(int(k))
+    klo = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    khi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+    bf_dev.insert_u64_batch(klo, khi)
+    assert bf_host == bf_dev  # identical bit tables
+    got = np.asarray(bf_dev.contains_u64_batch(klo, khi))
+    assert got.all()
+
+
+def test_serialize_roundtrip_wire_format():
+    bf = make_bf(count=100, fpp=1e-6, seed=0x12345)
+    for k in range(100):
+        bf.insert_u64(k * 1000003)
+    blob = bf.serialize()
+    assert len(blob) == bf.compute_serialization_size()
+    # Packed header is 44 bytes (4 + 4*8 + 8 double).
+    assert len(blob) == 44 + 4 * bf.salt_count + bf.table_size // 8
+    bf2 = BloomFilter.deserialize(blob)
+    assert bf2 == bf
+    assert all(bf2.contains_u64(k * 1000003) for k in range(100))
+
+
+def test_set_algebra():
+    a, b = make_bf(), make_bf()
+    for k in range(100):
+        a.insert_u64(k)
+    for k in range(50, 150):
+        b.insert_u64(k)
+    u = make_bf()
+    for k in range(100):
+        u.insert_u64(k)
+    u |= b
+    for k in range(150):
+        assert u.contains_u64(k)
+    a &= b
+    for k in range(50, 100):
+        assert a.contains_u64(k)
+
+
+def test_blind_distance_keys_match_reference_loop():
+    bl = Blinding.deterministic(99)
+    sq_radius = 10000
+    got_lo, got_hi = [], []
+    for klo, khi in blind_distance_keys(bl, sq_radius, chunk=4096):
+        got_lo.append(np.asarray(klo))
+        got_hi.append(np.asarray(khi))
+    got = np.concatenate(got_lo).astype(np.uint64) | (
+        np.concatenate(got_hi).astype(np.uint64) << np.uint64(32)
+    )
+    for di in [0, 1, 17, 9999]:
+        bd = (bl.s * (di + bl.r)) & ((1 << 64) - 1)
+        assert int(got[di]) == pack_key(bd, bl.w, bl.w_len)
+
+
+def test_end_to_end_proximity_membership():
+    # d^2 < r^2 iff the blinded key is in the filter (demo.cc math).
+    bl = Blinding.deterministic(5)
+    radius = 64
+    sq = radius * radius
+    p = BloomParameters(
+        projected_element_count=sq,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+    )
+    p.compute_optimal_parameters()
+    bf = BloomFilter(p)
+    for klo, khi in blind_distance_keys(bl, sq):
+        bf.insert_u64_batch(klo, khi)
+    for d2 in [0, 1, sq - 1]:
+        bd = (bl.s * (d2 + bl.r)) & ((1 << 64) - 1)
+        assert bf.contains_u64(pack_key(bd, bl.w, bl.w_len))
+    for d2 in [sq, sq + 1, sq + 12345]:
+        bd = (bl.s * (d2 + bl.r)) & ((1 << 64) - 1)
+        assert not bf.contains_u64(pack_key(bd, bl.w, bl.w_len))
