@@ -26,10 +26,16 @@ __all__ = [
     "load_parms",
     "save_ciphertext",
     "load_ciphertext",
+    "save_public_key",
+    "load_public_key",
+    "save_secret_key",
+    "load_secret_key",
 ]
 
 _MAGIC_PARMS = b"PPLPprm1"
 _MAGIC_CT = b"PPLPctx1"
+_MAGIC_PK = b"PPLPpub1"
+_MAGIC_SK = b"PPLPsec1"
 
 
 def save_parms(parms: EncryptionParameters) -> bytes:
@@ -91,6 +97,58 @@ def save_ciphertext(ct: Ciphertext, ctx: BFVContext) -> bytes:
         res = ntt.to_numpy(poly, ctx.tables)
         out.append(_pack_residues(res, widths))
     return b"".join(out)
+
+
+def save_public_key(pk, ctx: BFVContext) -> bytes:
+    """Public key wire format: NTT-domain pk0 ‖ pk1 residues."""
+    widths = _limb_widths(ctx)
+    out = [_MAGIC_PK, struct.pack("<QH", ctx.n, ctx.L)]
+    for poly in (pk.pk0_ntt, pk.pk1_ntt):
+        out.append(_pack_residues(ntt.to_numpy(poly, ctx.tables), widths))
+    return b"".join(out)
+
+
+def load_public_key(buf: bytes, ctx: BFVContext):
+    from .keys import PublicKey, _shoup
+
+    assert buf[:8] == _MAGIC_PK, "bad public key magic"
+    n, L = struct.unpack_from("<QH", buf, 8)
+    assert n == ctx.n and L == ctx.L, "public key/context mismatch"
+    off = 8 + struct.calcsize("<QH")
+    widths = _limb_widths(ctx)
+    polys = []
+    for _ in range(2):
+        res, off = _unpack_residues(buf, off, n, widths)
+        polys.append(ntt.to_device(res, ctx.tables))
+    return PublicKey(
+        pk0_ntt=polys[0],
+        pk1_ntt=polys[1],
+        pk0_shoup=_shoup(ctx, polys[0]),
+        pk1_shoup=_shoup(ctx, polys[1]),
+    )
+
+
+def save_secret_key(sk, ctx: BFVContext) -> bytes:
+    widths = _limb_widths(ctx)
+    return b"".join(
+        [
+            _MAGIC_SK,
+            struct.pack("<QH", ctx.n, ctx.L),
+            _pack_residues(ntt.to_numpy(sk.s_ntt, ctx.tables), widths),
+        ]
+    )
+
+
+def load_secret_key(buf: bytes, ctx: BFVContext):
+    from .keys import SecretKey, _shoup
+
+    assert buf[:8] == _MAGIC_SK, "bad secret key magic"
+    n, L = struct.unpack_from("<QH", buf, 8)
+    assert n == ctx.n and L == ctx.L, "secret key/context mismatch"
+    off = 8 + struct.calcsize("<QH")
+    res, off = _unpack_residues(buf, off, n, _limb_widths(ctx))
+    s = ntt.to_device(res, ctx.tables)
+    return SecretKey(s_ntt=s, s_shoup=_shoup(ctx, s))
 
 
 def load_ciphertext(buf: bytes, ctx: BFVContext) -> Ciphertext:

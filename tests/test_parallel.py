@@ -1,0 +1,79 @@
+"""Sharded pipeline tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from pplp_tpu.bfv import BFVContext, Decryptor, EncryptionParameters, Encryptor, Evaluator
+from pplp_tpu.bfv.keys import KeyGenerator
+from pplp_tpu.ops.primes import get_primes
+from pplp_tpu.parallel import build_batched_pipeline, ct_sharding, make_batch_inputs, make_mesh
+
+N = 256
+T = 1 << 20
+
+
+def make_ctx():
+    chain = get_primes(28, 2, N) + get_primes(27, 2, N)
+    parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain)
+    return BFVContext.build(parms)
+
+
+def test_batched_pipeline_matches_protocol_oracle():
+    ctx = make_ctx()
+    kg = KeyGenerator(ctx, 3)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    xb, yb, s_blind, r_blind = 1000, 1000, 997, 123
+    step = build_batched_pipeline(ctx, sk, xb, yb, s_blind, r_blind)
+
+    xa = np.array([1234, 1000, 77, 1003], np.uint64)
+    ya = np.array([1212, 1000, 99, 1001], np.uint64)
+    args = make_batch_inputs(ctx, enc, xa, ya, jax.random.key(5))
+    res = jax.jit(step)(*args)
+
+    from pplp_tpu.ops import ntt
+
+    for b in range(4):
+        one = jax.tree.map(lambda a: a[b], res)
+        coeffs = ctx.decode_plain_from_ct_value(
+            np.asarray(ntt.to_numpy(one, ctx.tables), dtype=object)
+        )
+        d2 = (int(xa[b]) - xb) ** 2 + (int(ya[b]) - yb) ** 2
+        assert coeffs[0] == (s_blind * (d2 + r_blind)) % T
+        assert all(c == 0 for c in coeffs[1:])
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) == 8, "conftest should force 8 CPU devices"
+    ctx = make_ctx()
+    kg = KeyGenerator(ctx, 11)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    step = build_batched_pipeline(ctx, sk, 500, 600, 31, 17)
+    xa = np.arange(4, dtype=np.uint64) * 100
+    ya = np.arange(4, dtype=np.uint64) * 90 + 1
+    args = make_batch_inputs(ctx, enc, xa, ya, jax.random.key(6))
+
+    ref = jax.jit(step)(*args)
+
+    mesh = make_mesh(jax.devices(), dp=2, limb=2, coeff=2)
+    sh = ct_sharding(mesh)
+    sharded_args = jax.tree.map(lambda a: jax.device_put(a, sh), args)
+    got = jax.jit(step, out_shardings=sh)(*sharded_args)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_graft_entry_contract():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(8)
