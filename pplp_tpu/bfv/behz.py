@@ -167,9 +167,8 @@ class RnsMultiplier:
         Mq = [M % qi for qi in qm]
         self.M_mod_q = (_u32s(Mq)[:, None],
                         _u32s([_shoup32(v, qi) for v, qi in zip(Mq, qm)])[:, None])
-        mskMq = [(msk * M) % qi for qi in qm]
-        self.mskM_mod_q = (_u32s(mskMq)[:, None],
-                           _u32s([_shoup32(v, qi) for v, qi in zip(mskMq, qm)])[:, None])
+        # Residues of m_sk * M, added back where centered alpha is negative.
+        self.mskM_mod_q = _u32s([(msk * M) % qi for qi in qm])[:, None]
         self.msk_idx = l  # position of m_sk inside base_bsk
 
     # ------------------------------------------------------------------
@@ -268,13 +267,12 @@ class RnsMultiplier:
         )[..., 0, :]
         diff = mm.m31.sub(conv_msk, w_msk, msk_q)
         alpha = mm.m31.mulmod_shoup(diff, *self.inv_M_msk, msk_q)
-        # Centered alpha: subtract alpha*M, add back msk*M where alpha > msk/2.
+        # out = conv_q - alpha*M; where alpha represents a negative (centered
+        # alpha = alpha - m_sk), add back m_sk*M.
         am = p.mulmod_shoup(alpha[..., None, :], *self.M_mod_q, bq.q_col())
         out = p.sub(conv_q, am, bq.q_col())
+        corr = p.add(out, jnp.broadcast_to(self.mskM_mod_q, out.shape), bq.q_col())
         high = (alpha > jnp.uint32(self.msk // 2))[..., None, :]
-        corr = p.add(out, jnp.broadcast_to(self.mskM_mod_q[0] % bq.q_col(), out.shape) * 0
-                     + p.mulmod_shoup(jnp.ones_like(alpha)[..., None, :], *self.mskM_mod_q, bq.q_col()),
-                     bq.q_col())
         return jnp.where(high, corr, out)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""BFV ct-ct multiply (BEHZ) + relinearization vs clear negacyclic oracle."""
+
+import numpy as np
+import jax
+import pytest
+
+from pplp_tpu.bfv import (
+    BFVContext,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+)
+from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+from pplp_tpu.ops.primes import get_primes
+
+N = 256
+T = 1 << 16
+
+
+def setup(seed=1):
+    chain = get_primes(28, 2, N) + get_primes(27, 2, N)
+    parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain)
+    ctx = BFVContext.build(parms)
+    kg = KeyGenerator(ctx, seed)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    return ctx, sk, pk, kg
+
+
+def negacyclic(a, b, mod):
+    n = len(a)
+    out = [0] * n
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + ai * bj) % mod
+            else:
+                out[k - n] = (out[k - n] - ai * bj) % mod
+    return out
+
+
+def test_multiply_scalar_messages():
+    ctx, sk, pk, _ = setup()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    c1 = enc.encrypt(Plaintext(format(1234, "X")), jax.random.key(1))
+    c2 = enc.encrypt(Plaintext(format(777, "X")), jax.random.key(2))
+    prod = mul.multiply(c1, c2)
+    assert prod.size == 3
+    got = dec.decrypt(prod)
+    assert int(got.to_string() or "0", 16) == (1234 * 777) % T
+
+
+def test_multiply_poly_messages():
+    ctx, sk, pk, _ = setup(2)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    rng = np.random.default_rng(0)
+    a = [int(v) for v in rng.integers(0, T, size=N)]
+    b = [int(v) for v in rng.integers(0, T, size=N)]
+    ca = enc.encrypt(Plaintext(a), jax.random.key(3))
+    cb = enc.encrypt(Plaintext(b), jax.random.key(4))
+    got = dec.decrypt(mul.multiply(ca, cb)).coeffs[:N]
+    assert got == negacyclic(a, b, T)
+
+
+def test_relinearize_and_chain():
+    ctx, sk, pk, kg = setup(3)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    ev = Evaluator(ctx)
+    mul = RnsMultiplier(ctx)
+    rlk = create_relin_keys(ctx, sk, jax.random.key(9))
+
+    a, b = 321, 654
+    ca = enc.encrypt(Plaintext(format(a, "X")), jax.random.key(5))
+    cb = enc.encrypt(Plaintext(format(b, "X")), jax.random.key(6))
+    prod3 = mul.multiply(ca, cb)
+    prod2 = relinearize(ctx, prod3, rlk)
+    assert prod2.size == 2
+    assert int(dec.decrypt(prod2).to_string() or "0", 16) == (a * b) % T
+
+    # Relinearized ciphertexts compose with the rest of the evaluator.
+    summed = ev.add(prod2, ca)
+    assert int(dec.decrypt(summed).to_string() or "0", 16) == (a * b + a) % T
+
+
+def test_multiply_batched():
+    ctx, sk, pk, _ = setup(4)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    B = 3
+    vals_a = [11, 222, 3333]
+    vals_b = [7, 88, 999]
+
+    def pairs(vals):
+        import jax.numpy as jnp
+
+        m = np.zeros((B, N), np.uint64)
+        m[:, 0] = vals
+        return (
+            jnp.asarray((m & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((m >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    ca = enc.encrypt_pairs(*pairs(vals_a), jax.random.key(7))
+    cb = enc.encrypt_pairs(*pairs(vals_b), jax.random.key(8))
+    prod = jax.jit(mul.multiply)(ca, cb)
+    for i in range(B):
+        one = jax.tree.map(lambda x: x[i], prod)
+        got = dec.decrypt(one)
+        assert int(got.to_string() or "0", 16) == (vals_a[i] * vals_b[i]) % T
