@@ -1,17 +1,20 @@
 """Benchmark entry point: prints ONE JSON line for the driver.
 
-Current headline metric: batched negacyclic NTT throughput (transforms/s) at
-n=8192 over 3 RNS primes (BASELINE.md microbench config[1]). One "transform"
-is one length-n forward NTT of one RNS limb.
+Headline metric (BASELINE.md north star): BFV ciphertext-ciphertext multiplies
+per second, n=4096, including relinearization, batched on one chip.
 
-vs_baseline is measured against a SEAL-4.1-class single-thread CPU NTT at
-n=8192 (~25 us/transform => 40,000 transforms/s) — the engine the reference
-delegates to (SURVEY.md §6; the reference itself publishes no numbers).
+vs_baseline is measured against a SEAL-4.1-class single-thread CPU
+multiply+relin at n=4096 (~4 ms => 250/s) — the engine the reference delegates
+all crypto to (SURVEY.md §6; the reference itself publishes no numbers).
+
+Secondary metric (printed to stderr for the record): batched NTT transforms/s
+at n=8192 over 3 RNS primes.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -21,6 +24,7 @@ from pplp_tpu.ops import ntt
 from pplp_tpu.ops.primes import Modulus, get_primes
 
 BASELINE_TRANSFORMS_PER_S = 40_000.0
+BASELINE_MULTIPLIES_PER_S = 250.0
 
 
 def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
@@ -49,15 +53,74 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
     return transforms / best
 
 
+def bench_multiply(n=4096, batch=64, iters=5):
+    """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
+    import numpy as np
+
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+    from pplp_tpu.bfv.keys import KeyGenerator
+
+    parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
+    ctx = BFVContext.build(parms)
+    kg = KeyGenerator(ctx, 0)
+    sk = kg.secret_key()
+    rlk = create_relin_keys(ctx, sk, jax.random.key(1))
+    mul = RnsMultiplier(ctx)
+
+    # Synthetic uniform residue ciphertexts: multiply cost is data-independent.
+    rng = np.random.default_rng(0)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def ct_polys():
+        def poly():
+            v = rng.integers(0, 1 << 62, size=(batch, ctx.L, n)).astype(np.uint64) % qs
+            return jnp.asarray(v.astype(np.uint32))
+
+        from pplp_tpu.bfv.ciphertext import Ciphertext
+
+        return Ciphertext((poly(), poly()), "coeff")
+
+    ct1, ct2 = ct_polys(), ct_polys()
+
+    @jax.jit
+    def mult_relin(a, b):
+        return relinearize(ctx, mul.multiply(a, b), rlk)
+
+    out = mult_relin(ct1, ct2)
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = mult_relin(ct1, out)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - start) / iters)
+    return batch / best
+
+
 def main():
-    value = bench_ntt()
+    ntt_rate = bench_ntt()
     print(
         json.dumps(
             {
                 "metric": "ntt_transforms_per_s_n8192_3primes",
-                "value": round(value, 1),
+                "value": round(ntt_rate, 1),
                 "unit": "transforms/s",
-                "vs_baseline": round(value / BASELINE_TRANSFORMS_PER_S, 2),
+                "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+    value = bench_multiply()
+    print(
+        json.dumps(
+            {
+                "metric": "bfv_ct_mult_relin_per_s_n4096",
+                "value": round(value, 1),
+                "unit": "mults/s",
+                "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 2),
             }
         )
     )

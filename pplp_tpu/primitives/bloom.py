@@ -59,7 +59,20 @@ _HDR = struct.Struct("<IQQQQd")  # packed bf_hdr (bloomfilter.h:218-225)
 
 @dataclass
 class BloomParameters:
-    """Mirror of ``bloom_parameters`` with identical optimization math."""
+    """Mirror of ``bloom_parameters`` with identical optimization math.
+
+    ``index_mode`` selects how a hash maps to a bit index:
+      * "reference" — exactly Partow/pplp: ``hash % table_size``. For the
+        protocol's shifted keys ((bd << w_len) | w) the AP hash is affine in
+        the key, its low w_len bits are constant, and since table_size shares
+        a power-of-two factor with the key stride each salt can only reach a
+        tiny fraction of slots — the reference silently runs with a massively
+        inflated false-positive rate.
+      * "mixed" (sound default for this framework's protocols) — applies a
+        32-bit avalanche finalizer (murmur3 fmix32) to the hash before
+        indexing, restoring uniformity. Wire format is unchanged; both roles
+        must agree on the mode (protocol config carries it).
+    """
 
     projected_element_count: int = 10000
     false_positive_probability: float = 1.0 / 10000
@@ -68,6 +81,7 @@ class BloomParameters:
     maximum_size: int = (1 << 64) - 1
     minimum_number_of_hashes: int = 1
     maximum_number_of_hashes: int = (1 << 32) - 1
+    index_mode: str = "reference"
     number_of_hashes: int = field(default=0, init=False)
     table_size: int = field(default=0, init=False)
 
@@ -143,6 +157,25 @@ def _hash_ap_bytes(data: bytes, h: int) -> int:
     return h
 
 
+def _fmix32_int(h: int) -> int:
+    """murmur3 32-bit finalizer (host scalar)."""
+    h &= _M32
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _fmix32_vec(h):
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
 def _hash_ap_u64_vec(klo, khi, salts):
     """Vectorized AP hash of 8-byte little-endian keys: [S,1] x [K] -> [S,K].
 
@@ -169,6 +202,7 @@ class BloomFilter:
             self.salts = np.zeros(0, np.uint32)
             self.bit_table = np.zeros(0, np.uint8)
             self._device_bits = None
+            self.index_mode = "reference"
             return
         assert params.table_size, "call compute_optimal_parameters() first"
         self.projected_element_count = params.projected_element_count
@@ -177,6 +211,7 @@ class BloomFilter:
         self.desired_fpp = params.false_positive_probability
         self.salt_count = params.number_of_hashes
         self.table_size = params.table_size
+        self.index_mode = params.index_mode
         self.salts = self._generate_unique_salt()
         self.bit_table = np.zeros(self.table_size // BITS_PER_CHAR, np.uint8)
         self._device_bits = None  # lazily-materialized jnp uint8 [table_size]
@@ -201,6 +236,8 @@ class BloomFilter:
     def _indices(self, data: bytes):
         for s in self.salts:
             h = _hash_ap_bytes(data, int(s))
+            if self.index_mode == "mixed":
+                h = _fmix32_int(h)
             yield h % self.table_size
 
     def insert_bytes(self, data: bytes):
@@ -230,11 +267,17 @@ class BloomFilter:
             self._device_bits = jnp.asarray(bits)
         return self._device_bits
 
-    def insert_u64_batch(self, klo, khi):
-        """Insert u64 keys given as u32 (lo, hi) device arrays [K]."""
+    def _idx_batch(self, klo, khi):
+        assert self.table_size < (1 << 32), "device path needs u32 indices"
         salts = jnp.asarray(self.salts)
         h = _hash_ap_u64_vec(jnp.asarray(klo), jnp.asarray(khi), salts)
-        idx = (h % jnp.uint32(self.table_size)).ravel()
+        if self.index_mode == "mixed":
+            h = _fmix32_vec(h)
+        return h % jnp.uint32(self.table_size)
+
+    def insert_u64_batch(self, klo, khi):
+        """Insert u64 keys given as u32 (lo, hi) device arrays [K]."""
+        idx = self._idx_batch(klo, khi).ravel()
         bits = self._bits_device()
         self._device_bits = bits.at[idx].set(np.uint8(1))
         self.inserted_element_count += int(np.asarray(klo).shape[-1])
@@ -242,9 +285,7 @@ class BloomFilter:
 
     def contains_u64_batch(self, klo, khi):
         """Membership for a batch of u64 keys -> bool array [K]."""
-        salts = jnp.asarray(self.salts)
-        h = _hash_ap_u64_vec(jnp.asarray(klo), jnp.asarray(khi), salts)
-        idx = h % jnp.uint32(self.table_size)
+        idx = self._idx_batch(klo, khi)
         bits = self._bits_device()
         return jnp.all(bits[idx] != 0, axis=0)
 
@@ -315,8 +356,9 @@ class BloomFilter:
         return head + self.salts.tobytes() + self.bit_table.tobytes()
 
     @classmethod
-    def deserialize(cls, buf: bytes) -> "BloomFilter":
+    def deserialize(cls, buf: bytes, index_mode: str = "reference") -> "BloomFilter":
         bf = cls()
+        bf.index_mode = index_mode
         (
             bf.salt_count,
             bf.table_size,

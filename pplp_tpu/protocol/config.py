@@ -33,6 +33,10 @@ class ProtocolConfig:
     # Bound blinding so s*(d^2+r) < t (sound near-detection). False reproduces
     # the reference's raw 32-bit draws including its overflow hazard.
     safe_blinding: bool = True
+    # "mixed" hardens Bloom indexing against the reference's degenerate
+    # shifted-key hashing (see primitives.bloom.BloomParameters); "reference"
+    # reproduces Partow/pplp indexing bit-exactly.
+    bf_index_mode: str = "mixed"
 
     def __post_init__(self):
         assert 0 <= self.xa < COORD_MAX and 0 <= self.ya < COORD_MAX

@@ -85,7 +85,7 @@ class ProximityClient:
 
     def receive_bf(self, blob: bytes):
         (self.w,) = struct.unpack_from("<Q", blob, 0)
-        self.bf = BloomFilter.deserialize(blob[8:])
+        self.bf = BloomFilter.deserialize(blob[8:], index_mode=self.cfg.bf_index_mode)
 
     def receive_blind_distance(self, blob: bytes) -> bool:
         ct = load_ciphertext(blob, self.ctx)
@@ -128,6 +128,7 @@ class ProximityServer:
             projected_element_count=cfg.sq_radius,
             false_positive_probability=cfg.false_positive_probability,
             random_seed=cfg.bf_seed,
+            index_mode=cfg.bf_index_mode,
         )
         assert p.compute_optimal_parameters()
         self.bf = BloomFilter(p)
