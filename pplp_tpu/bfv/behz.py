@@ -114,7 +114,8 @@ class RnsMultiplier:
         self.base_q = _Basis(ctx.moduli, ctx.tables)
         bsk_moduli = [Modulus(p) for p in b_values + [msk]]
         self.base_bsk = _Basis(
-            tuple(bsk_moduli), ntt.build_tables(bsk_moduli, n)
+            tuple(bsk_moduli),
+            ntt.build_tables(bsk_moduli, n, engine=ctx.tables.engine),
         )
         self.l = l
         self.msk = msk

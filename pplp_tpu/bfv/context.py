@@ -80,12 +80,15 @@ class BFVContext:
 
     @staticmethod
     @functools.lru_cache(maxsize=8)
-    def build(parms: EncryptionParameters) -> "BFVContext":
+    def build(parms: EncryptionParameters, engine: str = "stage") -> "BFVContext":
+        """engine: NTT implementation ("stage" | "four" | "four-pallas");
+        all NTT-domain state in this context uses that engine's spectrum
+        order, so a context is internally consistent by construction."""
         err = parms.validate()
         if err:
             raise ValueError(f"invalid encryption parameters: {err}")
         moduli = [Modulus(q) for q in parms.coeff_modulus]
-        tables = ntt.build_tables(moduli, parms.poly_modulus_degree)
+        tables = ntt.build_tables(moduli, parms.poly_modulus_degree, engine=engine)
         t = parms.plain_modulus
         q = 1
         for m in moduli:

@@ -100,11 +100,17 @@ def save_ciphertext(ct: Ciphertext, ctx: BFVContext) -> bytes:
 
 
 def save_public_key(pk, ctx: BFVContext) -> bytes:
-    """Public key wire format: NTT-domain pk0 ‖ pk1 residues."""
+    """Public key wire format: COEFFICIENT-domain pk0 ‖ pk1 residues.
+
+    Keys live on-device in NTT domain, whose spectrum order is an internal
+    property of the context's NTT engine; the wire format stores coefficient
+    order so keys interoperate across engines/hosts.
+    """
     widths = _limb_widths(ctx)
     out = [_MAGIC_PK, struct.pack("<QH", ctx.n, ctx.L)]
     for poly in (pk.pk0_ntt, pk.pk1_ntt):
-        out.append(_pack_residues(ntt.to_numpy(poly, ctx.tables), widths))
+        coeff = ntt.inverse(poly, ctx.tables)
+        out.append(_pack_residues(ntt.to_numpy(coeff, ctx.tables), widths))
     return b"".join(out)
 
 
@@ -119,7 +125,7 @@ def load_public_key(buf: bytes, ctx: BFVContext):
     polys = []
     for _ in range(2):
         res, off = _unpack_residues(buf, off, n, widths)
-        polys.append(ntt.to_device(res, ctx.tables))
+        polys.append(ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables))
     return PublicKey(
         pk0_ntt=polys[0],
         pk1_ntt=polys[1],
@@ -130,11 +136,12 @@ def load_public_key(buf: bytes, ctx: BFVContext):
 
 def save_secret_key(sk, ctx: BFVContext) -> bytes:
     widths = _limb_widths(ctx)
+    coeff = ntt.inverse(sk.s_ntt, ctx.tables)
     return b"".join(
         [
             _MAGIC_SK,
             struct.pack("<QH", ctx.n, ctx.L),
-            _pack_residues(ntt.to_numpy(sk.s_ntt, ctx.tables), widths),
+            _pack_residues(ntt.to_numpy(coeff, ctx.tables), widths),
         ]
     )
 
@@ -147,7 +154,7 @@ def load_secret_key(buf: bytes, ctx: BFVContext):
     assert n == ctx.n and L == ctx.L, "secret key/context mismatch"
     off = 8 + struct.calcsize("<QH")
     res, off = _unpack_residues(buf, off, n, _limb_widths(ctx))
-    s = ntt.to_device(res, ctx.tables)
+    s = ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables)
     return SecretKey(s_ntt=s, s_shoup=_shoup(ctx, s))
 
 

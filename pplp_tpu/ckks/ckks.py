@@ -1,0 +1,137 @@
+"""CKKS core: canonical-embedding encoder + RLWE encrypt/add/decrypt.
+
+Encoding (host, float64 — like SEAL's CPU-side CKKSEncoder): a slot vector
+z in C^{n/2} is evaluated/interpolated at the odd powers of the primitive
+2n-th complex root zeta:
+
+    eval_k(m) = sum_j c_j zeta^{j(2k+1)},   k = 0..n-1,
+
+with conjugate symmetry (slot j pairs with n-1-j) making coefficients real.
+Interpolation = FFT with a zeta^j pre-twist; coefficients are scaled by
+``scale`` and rounded into the RNS basis.
+
+Device side reuses the BFV machinery: keys (`bfv.keys`), uniform/CBD sampling,
+NTT tables — a CKKS ciphertext is (c0, c1) with message carried in the low
+bits (no Delta scaling; the scale lives in the encoding).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..bfv.ciphertext import Ciphertext
+from ..bfv.context import BFVContext
+from ..bfv.params import EncryptionParameters
+from ..bfv import sampling
+from ..ops import ntt
+
+__all__ = ["CKKSContext", "CKKSEncoder", "ckks_encrypt", "ckks_decrypt", "ckks_add"]
+
+
+@dataclass(frozen=True, eq=False)
+class CKKSContext:
+    """Thin wrapper: a BFVContext used for its RNS/NTT machinery + a scale."""
+
+    base: BFVContext
+    scale: float
+
+    @staticmethod
+    @functools.lru_cache(maxsize=4)
+    def build(n=4096, scale=float(1 << 30), profile="tpu", coeff_modulus=None):
+        if coeff_modulus is None:
+            # CKKS needs q >> scale * |values|; three 28-bit primes (~2^84)
+            # leave ample headroom for add-only aggregation at scale 2^30.
+            from ..ops.primes import get_primes
+
+            coeff_modulus = get_primes(28, 3, n)
+        # plain_modulus is unused by CKKS; pick a benign value for validation.
+        parms = EncryptionParameters.bfv(
+            n, 1 << 20, coeff_modulus=coeff_modulus, profile=profile
+        )
+        return CKKSContext(base=BFVContext.build(parms), scale=float(scale))
+
+    @property
+    def n(self):
+        return self.base.n
+
+    @property
+    def slots(self):
+        return self.base.n // 2
+
+
+class CKKSEncoder:
+    def __init__(self, ctx: CKKSContext):
+        self.ctx = ctx
+        n = ctx.n
+        j = np.arange(n)
+        self._twist = np.exp(1j * np.pi * j / n)  # zeta^j
+
+    def encode(self, values) -> np.ndarray:
+        """Complex/real slot values [<= n/2] -> integer coefficient vector."""
+        ctx = self.ctx
+        n = ctx.n
+        z = np.zeros(ctx.slots, np.complex128)
+        values = np.asarray(values)
+        z[: len(values)] = values
+        evals = np.zeros(n, np.complex128)
+        evals[: ctx.slots] = z
+        evals[ctx.slots :] = np.conj(z[::-1])
+        t = np.fft.fft(evals) / n  # interpolation: t_j = (1/n) sum E_k w^{-jk}
+        coeffs = np.real(t / self._twist) * ctx.scale
+        return np.round(coeffs).astype(np.int64)
+
+    def decode(self, coeffs: np.ndarray):
+        """Centered integer coefficients -> complex slot values [n/2]."""
+        ctx = self.ctx
+        t = (np.asarray(coeffs, np.float64) / ctx.scale) * self._twist
+        evals = np.fft.ifft(t) * ctx.n
+        return evals[: ctx.slots]
+
+    def coeffs_to_rns(self, coeffs: np.ndarray):
+        """Signed coeffs -> device residues [L, n]."""
+        ctx = self.ctx.base
+        rows = [np.mod(coeffs.astype(object), m.value) for m in ctx.moduli]
+        return ntt.to_device(np.array(rows, dtype=object), ctx.tables)
+
+    def rns_to_centered(self, residues: np.ndarray) -> list[int]:
+        """Host [L, n] residues -> centered python ints in (-q/2, q/2]."""
+        ctx = self.ctx.base
+        xs = ctx.crt_compose(np.asarray(residues, dtype=object))
+        half = ctx.q // 2
+        return [x - ctx.q if x > half else x for x in xs]
+
+
+def ckks_encrypt(ctx: CKKSContext, pk, m_rns, key) -> Ciphertext:
+    """(c0, c1) = (pk0 u + e0 + m, pk1 u + e1)."""
+    base = ctx.base
+    p = base.prof
+    q2 = base.tables.q_b(1)
+    ku, k0, k1 = jax.random.split(key, 3)
+    u_ntt = ntt.forward(sampling.ternary_poly(ku, base), base.tables)
+    c0 = ntt.inverse(p.mulmod_shoup(u_ntt, pk.pk0_ntt, pk.pk0_shoup, q2), base.tables)
+    c1 = ntt.inverse(p.mulmod_shoup(u_ntt, pk.pk1_ntt, pk.pk1_shoup, q2), base.tables)
+    c0 = p.add(p.add(c0, sampling.cbd_poly(k0, base), q2), m_rns, q2)
+    c1 = p.add(c1, sampling.cbd_poly(k1, base), q2)
+    return Ciphertext((c0, c1), "coeff")
+
+
+def ckks_add(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    p = ctx.base.prof
+    q2 = ctx.base.tables.q_b(1)
+    return Ciphertext(
+        tuple(p.add(x, y, q2) for x, y in zip(a.polys, b.polys)), "coeff"
+    )
+
+
+def ckks_decrypt(ctx: CKKSContext, sk, ct: Ciphertext) -> np.ndarray:
+    """Device dot product with s, host compose -> centered coefficients."""
+    from ..bfv.decryptor import Decryptor
+
+    dec = Decryptor(ctx.base, sk)
+    residues = ntt.to_numpy(dec.ct_value_rns(ct), ctx.base.tables)
+    enc = CKKSEncoder(ctx)
+    return np.array(enc.rns_to_centered(residues), dtype=object)

@@ -54,7 +54,14 @@ def _split_u32(vals: np.ndarray | list, nlimb: int):
 
 @dataclass
 class NttTables:
-    """Device-ready tables for one RNS chain at one polynomial degree."""
+    """Device-ready tables for one RNS chain at one polynomial degree.
+
+    ``engine`` selects the transform implementation (spectra from different
+    engines use different-but-internally-consistent orderings):
+      * "stage"       — whole-array butterfly sweeps (XLA, any profile)
+      * "four"        — four-step decomposition (jnp, m31 only)
+      * "four-pallas" — four-step fused into one VMEM-resident Pallas kernel
+    """
 
     n: int
     logn: int
@@ -68,6 +75,8 @@ class NttTables:
     iws: Any
     n_inv: Any      # [L]
     n_inv_s: Any
+    engine: str = "stage"
+    four_step: Any = None  # ntt4.FourStepTables when engine != "stage"
 
     @property
     def L(self) -> int:
@@ -87,7 +96,9 @@ class NttTables:
         return jax.tree.map(lambda a: a[idx], self.mu)
 
 
-def build_tables(moduli: Sequence[Modulus], n: int) -> NttTables:
+def build_tables(
+    moduli: Sequence[Modulus], n: int, engine: str = "stage"
+) -> NttTables:
     """Build forward/inverse twiddle tables for a chain of NTT-friendly primes."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
@@ -133,6 +144,12 @@ def build_tables(moduli: Sequence[Modulus], n: int) -> NttTables:
         parts = [jnp.asarray(p) for p in _split_u32(vals, limbs)]
         return parts[0] if limbs == 1 else tuple(parts)
 
+    four_step = None
+    if engine != "stage":
+        assert profile == "m31", "four-step engines require the m31 profile"
+        from . import ntt4
+
+        four_step = ntt4.build_tables4(moduli, n)
     return NttTables(
         n=n,
         logn=logn,
@@ -146,6 +163,8 @@ def build_tables(moduli: Sequence[Modulus], n: int) -> NttTables:
         iws=pack(iws_rows),
         n_inv=pack(n_inv_l),
         n_inv_s=pack(n_inv_s_l),
+        engine=engine,
+        four_step=four_step,
     )
 
 
@@ -173,6 +192,14 @@ def _slice_tbl(tbl, lo: int, hi: int):
 
 def forward(x, tb: NttTables):
     """Negacyclic NTT along the trailing axis. x: [..., L, n] residues."""
+    if tb.engine == "four":
+        from . import ntt4
+
+        return ntt4.forward4(x, tb.four_step)
+    if tb.engine == "four-pallas":
+        from . import ntt_pallas
+
+        return ntt_pallas.forward4_pallas(x, tb.four_step)
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)
@@ -192,6 +219,14 @@ def forward(x, tb: NttTables):
 
 def inverse(x, tb: NttTables):
     """Inverse negacyclic NTT (consumes forward's output order)."""
+    if tb.engine == "four":
+        from . import ntt4
+
+        return ntt4.inverse4(x, tb.four_step)
+    if tb.engine == "four-pallas":
+        from . import ntt_pallas
+
+        return ntt_pallas.inverse4_pallas(x, tb.four_step)
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)

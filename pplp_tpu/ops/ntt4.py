@@ -1,0 +1,273 @@
+"""Four-step negacyclic NTT: the TPU-native decomposition.
+
+Splits the length-n transform into n = C1 x C2 (C2 = vector lane width 128):
+
+  step A: length-C1 *negacyclic* NTTs down the C1 axis (root psi^C2), lanes
+          carry the C2 axis — every butterfly reshape touches only leading
+          dims, so the data never leaves its lane;
+  step B: elementwise twiddle T[p1, j2] = psi^{j2*(2*brv(p1)+1)};
+  step C: transpose, then length-C2 *cyclic* NTTs (root omega^C1 = psi^{2C1})
+          down the C2 axis (Gentleman-Sande DIF, position-varying twiddles).
+
+Output order is an internal bijection (digit-transposed, bit-reversed per
+digit); ``inverse4`` mirrors it exactly, and pointwise products only ever pair
+like-ordered spectra. This file is the jnp reference semantics; the fused
+Pallas kernel in ``ntt_pallas.py`` runs the identical math out of VMEM.
+
+Cites: replaces the role of SEAL's ntt_negacyclic_harvey (see ntt.py) with a
+layout chosen for the 8x128 VPU rather than scalar butterflies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .modmath import m31
+from .primes import Modulus
+
+__all__ = ["FourStepTables", "build_tables4", "forward4", "inverse4", "C2"]
+
+C2 = 128
+_LOG_C2 = 7
+
+
+def _bitrev(k: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (k & 1)
+        k >>= 1
+    return r
+
+
+@dataclass
+class FourStepTables:
+    n: int
+    c1: int
+    logc1: int
+    moduli: tuple[Modulus, ...]
+    q: Any            # u32 [L]
+    mu: Any           # (lo, hi) [L]
+    # Step A (negacyclic C1, Harvey layout) + inverses:
+    w1: Any           # [L, C1]
+    w1s: Any
+    iw1: Any
+    iw1s: Any
+    # Step B twiddle matrix (+inverse, inverse includes 1/n scale):
+    tw: Any           # [L, C1, C2]
+    tws: Any
+    itw: Any
+    itws: Any
+    # Step C cyclic C2 stage tables, packed [L, LOG_C2, C2//2]:
+    wc: Any
+    wcs: Any
+    iwc: Any
+    iwcs: Any
+
+    @property
+    def L(self):
+        return len(self.moduli)
+
+
+def build_tables4(moduli: Sequence[Modulus], n: int) -> FourStepTables:
+    assert n % C2 == 0 and n >= 2 * C2
+    c1 = n // C2
+    logc1 = c1.bit_length() - 1
+    assert 1 << logc1 == c1
+    for m in moduli:
+        assert m.value < (1 << 30), "four-step engine is m31-profile only"
+        assert (m.value - 1) % (2 * n) == 0
+
+    w1_l, w1s_l, iw1_l, iw1s_l = [], [], [], []
+    tw_l, tws_l, itw_l, itws_l = [], [], [], []
+    wc_l, wcs_l, iwc_l, iwcs_l = [], [], [], []
+    q_l, mu_lo, mu_hi = [], [], []
+
+    for mod in moduli:
+        q = mod.value
+        psi = mod.minimal_primitive_root(2 * n)
+        psi_inv = pow(psi, -1, q)
+        # Step A tables: negacyclic C1 with psi1 = psi^C2 (order 2*C1).
+        psi1 = pow(psi, C2, q)
+        psi1_inv = pow(psi_inv, C2, q)
+        brv1 = [_bitrev(k, logc1) for k in range(c1)]
+        pw = [1] * c1
+        ipw = [1] * c1
+        for k in range(1, c1):
+            pw[k] = pw[k - 1] * psi1 % q
+            ipw[k] = ipw[k - 1] * psi1_inv % q
+        w1 = [pw[brv1[k]] for k in range(c1)]
+        iw1 = [ipw[brv1[k]] for k in range(c1)]
+        # Step B: T[p1, j2] = psi^{j2*(2*brv(p1)+1)}.
+        tw = [[pow(psi, j2 * (2 * brv1[p1] + 1), q) for j2 in range(C2)]
+              for p1 in range(c1)]
+        # Inverse twiddle includes the global 1/n scale.
+        n_inv = pow(n, -1, q)
+        itw = [[pow(psi_inv, j2 * (2 * brv1[p1] + 1), q) * n_inv % q
+                for j2 in range(C2)] for p1 in range(c1)]
+        # Step C: cyclic C2 GS stages. omega_c = psi^{2*c1} has order C2.
+        om = pow(psi, 2 * c1, q)
+        om_inv = pow(psi_inv, 2 * c1, q)
+        wc = np.ones((_LOG_C2, C2 // 2), dtype=object)
+        iwc = np.ones((_LOG_C2, C2 // 2), dtype=object)
+        t = C2 // 2
+        for s in range(_LOG_C2):
+            stride = C2 // (2 * t)  # omega exponent step for this stage
+            for jt in range(t):
+                wc[s, jt] = pow(om, jt * stride, q)
+                iwc[s, jt] = pow(om_inv, jt * stride, q)
+            t //= 2
+
+        sh = lambda v: mod.shoup(int(v), 32)
+        w1_l.append(w1)
+        w1s_l.append([sh(v) for v in w1])
+        iw1_l.append(iw1)
+        iw1s_l.append([sh(v) for v in iw1])
+        tw_l.append(tw)
+        tws_l.append([[sh(v) for v in row] for row in tw])
+        itw_l.append(itw)
+        itws_l.append([[sh(v) for v in row] for row in itw])
+        wc_l.append(wc.tolist())
+        wcs_l.append([[sh(v) for v in row] for row in wc.tolist()])
+        iwc_l.append(iwc.tolist())
+        iwcs_l.append([[sh(v) for v in row] for row in iwc.tolist()])
+        q_l.append(q)
+        mu_lo.append(mod.mu64 & 0xFFFFFFFF)
+        mu_hi.append(mod.mu64 >> 32)
+
+    u32 = lambda v: jnp.asarray(np.asarray(v, dtype=np.uint32))
+    return FourStepTables(
+        n=n, c1=c1, logc1=logc1, moduli=tuple(moduli),
+        q=u32(q_l), mu=(u32(mu_lo), u32(mu_hi)),
+        w1=u32(w1_l), w1s=u32(w1s_l), iw1=u32(iw1_l), iw1s=u32(iw1s_l),
+        tw=u32(tw_l), tws=u32(tws_l), itw=u32(itw_l), itws=u32(itws_l),
+        wc=u32(wc_l), wcs=u32(wcs_l), iwc=u32(iwc_l), iwcs=u32(iwcs_l),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core column transforms. Shapes: x is [..., G, C1, C2] where G is a "groups"
+# axis (RNS limbs, or limbs x batch inside the Pallas kernel); each table has
+# a leading G axis and q broadcasts as [G, 1, 1]. Used by both the jnp path
+# and the fused Pallas kernel.
+# ---------------------------------------------------------------------------
+
+
+def _ntt_col_negacyclic(x, w1, w1s, q3, logc1):
+    """CT-DIT negacyclic NTT along axis -2; twiddles per group (Harvey)."""
+    c1 = x.shape[-2]
+    lanes = x.shape[-1]
+    g = x.shape[-3]
+    h, t = 1, c1
+    for _ in range(logc1):
+        t //= 2
+        xv = x.reshape(x.shape[:-2] + (h, 2, t, lanes))
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        w = w1[:, h : 2 * h][:, :, None, None]
+        ws = w1s[:, h : 2 * h][:, :, None, None]
+        q = q3[..., None]
+        mv = m31.mulmod_shoup(v, w, ws, q)
+        x = jnp.stack([m31.add(u, mv, q), m31.sub(u, mv, q)], axis=-3)
+        x = x.reshape(x.shape[:-4] + (c1, lanes))
+        h *= 2
+    return x
+
+
+def _intt_col_negacyclic(x, iw1, iw1s, q3, logc1):
+    """GS-DIF inverse along axis -2 (no final scale; folded into step B)."""
+    c1 = x.shape[-2]
+    lanes = x.shape[-1]
+    h, t = c1 // 2, 1
+    for _ in range(logc1):
+        xv = x.reshape(x.shape[:-2] + (h, 2, t, lanes))
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        w = iw1[:, h : 2 * h][:, :, None, None]
+        ws = iw1s[:, h : 2 * h][:, :, None, None]
+        q = q3[..., None]
+        s = m31.add(u, v, q)
+        d = m31.mulmod_shoup(m31.sub(u, v, q), w, ws, q)
+        x = jnp.stack([s, d], axis=-3).reshape(x.shape[:-2] + (c1, lanes))
+        h //= 2
+        t *= 2
+    return x
+
+
+def _ntt_col_cyclic_gs(x, wc, wcs, q3):
+    """GS-DIF cyclic NTT along axis -2 (C2-point), twiddles vary in-block.
+
+    Input natural order, output bit-reversed positions.
+    """
+    lanes = x.shape[-1]
+    t = C2 // 2
+    for s in range(_LOG_C2):
+        m = C2 // (2 * t)
+        xv = x.reshape(x.shape[:-2] + (m, 2, t, lanes))
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        w = wc[:, s, :t][:, None, :, None]
+        ws = wcs[:, s, :t][:, None, :, None]
+        q = q3[..., None]
+        a = m31.add(u, v, q)
+        b = m31.mulmod_shoup(m31.sub(u, v, q), w, ws, q)
+        x = jnp.stack([a, b], axis=-3).reshape(x.shape[:-2] + (C2, lanes))
+        t //= 2
+    return x
+
+
+def _intt_col_cyclic_ct(x, iwc, iwcs, q3):
+    """CT-DIT inverse cyclic along axis -2, consumes GS output order."""
+    lanes = x.shape[-1]
+    t = 1
+    for s in range(_LOG_C2 - 1, -1, -1):
+        m = C2 // (2 * t)
+        xv = x.reshape(x.shape[:-2] + (m, 2, t, lanes))
+        u = xv[..., 0, :, :]
+        v = xv[..., 1, :, :]
+        w = iwc[:, s, :t][:, None, :, None]
+        ws = iwcs[:, s, :t][:, None, :, None]
+        q = q3[..., None]
+        mv = m31.mulmod_shoup(v, w, ws, q)
+        x = jnp.stack([m31.add(u, mv, q), m31.sub(u, mv, q)], axis=-3)
+        x = x.reshape(x.shape[:-4] + (C2, lanes))
+        t *= 2
+    return x
+
+
+def fwd_core(x, w1, w1s, tw, tws, wc, wcs, q, logc1):
+    """[..., G, n] -> [..., G, n]; tables carry the leading G axis."""
+    c1 = x.shape[-1] // C2
+    q3 = q.reshape(q.shape + (1, 1))
+    x = x.reshape(x.shape[:-1] + (c1, C2))
+    x = _ntt_col_negacyclic(x, w1, w1s, q3, logc1)
+    x = m31.mulmod_shoup(x, tw, tws, q3)
+    x = jnp.swapaxes(x, -1, -2)  # [.., C2, C1]
+    x = _ntt_col_cyclic_gs(x, wc, wcs, q3)
+    return x.reshape(x.shape[:-2] + (c1 * C2,))
+
+
+def inv_core(x, iw1, iw1s, itw, itws, iwc, iwcs, q, logc1):
+    c1 = x.shape[-1] // C2
+    q3 = q.reshape(q.shape + (1, 1))
+    x = x.reshape(x.shape[:-1] + (C2, c1))
+    x = _intt_col_cyclic_ct(x, iwc, iwcs, q3)
+    x = jnp.swapaxes(x, -1, -2)  # [.., C1, C2]
+    x = m31.mulmod_shoup(x, itw, itws, q3)
+    x = _intt_col_negacyclic(x, iw1, iw1s, q3, logc1)
+    return x.reshape(x.shape[:-2] + (c1 * C2,))
+
+
+def forward4(x, tb: FourStepTables):
+    """x: [..., L, n] residues -> spectra [..., L, n] (internal order)."""
+    return fwd_core(x, tb.w1, tb.w1s, tb.tw, tb.tws, tb.wc, tb.wcs,
+                    tb.q, tb.logc1)
+
+
+def inverse4(x, tb: FourStepTables):
+    return inv_core(x, tb.iw1, tb.iw1s, tb.itw, tb.itws, tb.iwc, tb.iwcs,
+                    tb.q, tb.logc1)

@@ -1,0 +1,97 @@
+"""NTT engine dispatch: four-step + Pallas(interpret) engines drive the full
+BFV stack, and keys serialize engine-independently (coefficient domain)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pplp_tpu.bfv import (
+    BFVContext,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+)
+from pplp_tpu.bfv.serialize import (
+    load_public_key,
+    load_secret_key,
+    save_public_key,
+    save_secret_key,
+)
+from pplp_tpu.ops import ntt, ntt_pallas
+from pplp_tpu.ops.primes import Modulus, get_primes
+
+N = 256
+T = 1 << 16
+
+
+def parms():
+    return EncryptionParameters.bfv(
+        N, T, coeff_modulus=get_primes(28, 2, N) + get_primes(27, 1, N)
+    )
+
+
+@pytest.mark.parametrize("engine", ["four"])
+def test_bfv_roundtrip_on_engine(engine):
+    ctx = BFVContext.build(parms(), engine=engine)
+    kg = KeyGenerator(ctx, 1)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec, ev = Encryptor(ctx, pk), Decryptor(ctx, sk), Evaluator(ctx)
+    rng = np.random.default_rng(0)
+    a = [int(v) for v in rng.integers(0, T, size=N)]
+    ct = enc.encrypt(Plaintext(a), jax.random.key(2))
+    assert dec.decrypt(ct).coeffs[:N] == a
+    prod = ev.multiply_plain(ct, Plaintext(format(321, "X")))
+    assert dec.decrypt(prod).coeffs[:N] == [x * 321 % T for x in a]
+
+
+def test_cross_engine_key_transfer():
+    ctx_a = BFVContext.build(parms(), engine="stage")
+    ctx_b = BFVContext.build(parms(), engine="four")
+    kg = KeyGenerator(ctx_a, 3)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    pk_b = load_public_key(save_public_key(pk, ctx_a), ctx_b)
+    sk_b = load_secret_key(save_secret_key(sk, ctx_a), ctx_b)
+    enc_b = Encryptor(ctx_b, pk_b)
+    dec_b = Decryptor(ctx_b, sk_b)
+    pt = Plaintext(format(42424, "X"))  # < t
+    ct = enc_b.encrypt(pt, jax.random.key(4))
+    assert int(dec_b.decrypt(ct).to_string(), 16) == 42424
+
+
+def test_pallas_engine_interpret_matches_four():
+    moduli = [Modulus(q) for q in get_primes(28, 2, 512)]
+    tb4 = ntt.build_tables(moduli, 512, engine="four").four_step
+    rng = np.random.default_rng(1)
+    import jax.numpy as jnp
+
+    qs = np.array([m.value for m in moduli], np.uint64)[None, :, None]
+    x = jnp.asarray(
+        (rng.integers(0, 1 << 62, size=(16, 2, 512)).astype(np.uint64) % qs).astype(
+            np.uint32
+        )
+    )
+    from pplp_tpu.ops import ntt4
+
+    ref = ntt4.forward4(x, tb4)
+    got = ntt_pallas.forward4_pallas(x, tb4)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+    back = ntt_pallas.inverse4_pallas(got, tb4)
+    assert (np.asarray(back) == np.asarray(x)).all()
+
+
+def test_multiply_on_four_engine():
+    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+
+    ctx = BFVContext.build(parms(), engine="four")
+    kg = KeyGenerator(ctx, 5)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    rlk = create_relin_keys(ctx, sk, jax.random.key(6))
+    ca = enc.encrypt(Plaintext(format(111, "X")), jax.random.key(7))
+    cb = enc.encrypt(Plaintext(format(222, "X")), jax.random.key(8))
+    out = relinearize(ctx, mul.multiply(ca, cb), rlk)
+    assert int(dec.decrypt(out).to_string(), 16) == (111 * 222) % T

@@ -1,0 +1,70 @@
+"""Four-step NTT engine: roundtrip + polymul equivalence with the
+stage-sweep engine (same math, different internal spectrum order)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pplp_tpu.ops import ntt, ntt4
+from pplp_tpu.ops.modmath import m31
+from pplp_tpu.ops.primes import Modulus, get_primes
+
+
+def _setup(n, bits=(28, 27)):
+    moduli = [Modulus(q) for b in sorted(set(bits))
+              for q in get_primes(b, list(bits).count(b), n)]
+    tb1 = ntt.build_tables(moduli, n)
+    tb4 = ntt4.build_tables4(moduli, n)
+    return moduli, tb1, tb4
+
+
+def _rand(rng, moduli, n, batch=()):
+    qs = np.array([m.value for m in moduli], np.uint64).reshape(
+        (1,) * len(batch) + (-1, 1)
+    )
+    v = rng.integers(0, 1 << 62, size=batch + (len(moduli), n)).astype(np.uint64) % qs
+    return np.asarray(v, np.uint64)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_roundtrip(n):
+    rng = np.random.default_rng(0)
+    moduli, tb1, tb4 = _setup(n)
+    a = _rand(rng, moduli, n)
+    ad = np.asarray(a, np.uint64).astype(np.uint32)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(ad)
+    back = ntt4.inverse4(ntt4.forward4(x, tb4), tb4)
+    assert (np.asarray(back) == ad).all()
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_polymul_matches_stage_engine(n):
+    rng = np.random.default_rng(1)
+    moduli, tb1, tb4 = _setup(n)
+    import jax.numpy as jnp
+
+    a = jnp.asarray(_rand(rng, moduli, n).astype(np.uint32))
+    b = jnp.asarray(_rand(rng, moduli, n).astype(np.uint32))
+
+    ref = ntt.negacyclic_polymul(a, b, tb1)
+
+    q2 = tb4.q[:, None]
+    mu = tuple(m[:, None] for m in tb4.mu)
+    fa = ntt4.forward4(a, tb4)
+    fb = ntt4.forward4(b, tb4)
+    prod = m31.mulmod(fa, fb, q2, mu[0], mu[1])
+    got = ntt4.inverse4(prod, tb4)
+    assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_batched_jit():
+    n = 512
+    rng = np.random.default_rng(2)
+    moduli, tb1, tb4 = _setup(n)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rand(rng, moduli, n, batch=(3,)).astype(np.uint32))
+    f = jax.jit(lambda v: ntt4.inverse4(ntt4.forward4(v, tb4), tb4))
+    assert (np.asarray(f(x)) == np.asarray(x)).all()
