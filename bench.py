@@ -62,7 +62,9 @@ def bench_multiply(n=4096, batch=64, iters=5):
     from pplp_tpu.bfv.keys import KeyGenerator
 
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
-    ctx = BFVContext.build(parms)
+    # Engine choice measured on v5e: "four" > "stage" > "four-pallas" for the
+    # full fused multiply graph (the pallas kernel wins only in isolation).
+    ctx = BFVContext.build(parms, engine="four")
     kg = KeyGenerator(ctx, 0)
     sk = kg.secret_key()
     rlk = create_relin_keys(ctx, sk, jax.random.key(1))

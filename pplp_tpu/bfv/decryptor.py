@@ -54,3 +54,25 @@ class Decryptor:
             np.asarray(residues, dtype=object)
         )
         return Plaintext(coeffs)
+
+    def invariant_noise_budget(self, a: Ciphertext) -> int:
+        """Bits of noise budget left (SEAL's invariant_noise_budget analogue).
+
+        0 means decryption is no longer guaranteed. Computed host-side from
+        the centered residual x - round(q*m/t).
+        """
+        ctx = self.ctx
+        residues = ntt.to_numpy(self.ct_value_rns(a), ctx.tables)
+        xs = ctx.crt_compose(np.asarray(residues, dtype=object))
+        q, t = ctx.q, ctx.t
+        worst = 1
+        for x in xs:
+            m = ((x * t + q // 2) // q) % t
+            ideal = (q * m + t // 2) // t
+            e = (x - ideal) % q
+            if e > q // 2:
+                e = q - e
+            worst = max(worst, e)
+        # invariant noise v ~ t*e/q; budget = -log2(2|v|) = log2(q/(2 t e)).
+        ratio = q // (2 * t * worst)
+        return max(0, ratio.bit_length() - 1)

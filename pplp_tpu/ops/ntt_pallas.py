@@ -97,6 +97,13 @@ def _masks(rows, nstages, t_of_stage):
 
 
 def build_pallas_tables(tb: FourStepTables) -> PallasNttTables:
+    # May be reached during jit tracing (first call inside a jitted fn):
+    # force host-side evaluation of the table expansions.
+    with jax.ensure_compile_time_eval():
+        return _build_pallas_tables_eager(tb)
+
+
+def _build_pallas_tables_eager(tb: FourStepTables) -> PallasNttTables:
     c1, logc1 = tb.c1, tb.logc1
     L = tb.L
 
@@ -194,14 +201,13 @@ def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-_PTABLES: dict = {}
-
-
 def _ptables(tb: FourStepTables) -> PallasNttTables:
-    key = id(tb)
-    if key not in _PTABLES:
-        _PTABLES[key] = build_pallas_tables(tb)
-    return _PTABLES[key]
+    # Cached on the tables object itself (id()-keyed dicts risk reuse).
+    cached = getattr(tb, "_pallas_tables", None)
+    if cached is None:
+        cached = build_pallas_tables(tb)
+        tb._pallas_tables = cached
+    return cached
 
 
 def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):

@@ -49,7 +49,10 @@ class Blinding:
 
     @staticmethod
     def for_protocol(
-        t_bits: int, sq_radius: int, seed: int | None = None
+        t_bits: int,
+        sq_radius: int,
+        seed: int | None = None,
+        max_s_bits: int | None = None,
     ) -> "Blinding":
         """Blinding bounded so s*(d^2 + r) < t for every near-range d^2.
 
@@ -65,6 +68,11 @@ class Blinding:
         r = base.r & ((1 << r_bits) - 1)
         span_bits = get_bitlen(max(sq_radius - 1, 0) + (1 << r_bits))
         s_bits = max(1, t_bits - span_bits - 1)
+        if max_s_bits is not None:
+            # Noise-budget cap: the homomorphic result carries noise about
+            # s * coord * nu_fresh, which must stay below Delta/2 (see
+            # ProximityServer._noise_aware_s_bits).
+            s_bits = max(1, min(s_bits, max_s_bits))
         s = base.s & ((1 << s_bits) - 1)
         return Blinding(r=r, s=s | 1, w=base.w)  # s odd => nonzero
 

@@ -90,7 +90,11 @@ class ProximityClient:
     def receive_blind_distance(self, blob: bytes) -> bool:
         ct = load_ciphertext(blob, self.ctx)
         plain = self.decryptor.decrypt(ct)
-        self.blind_distance = hex_string_to_uint(plain.to_string())
+        # The protocol's blind distance is the constant coefficient. A healthy
+        # decryption is a constant polynomial; nonzero higher coefficients
+        # mean the noise budget was exhausted (flagged, not crashed).
+        self.decrypt_consistent = plain.significant_coeff_count() <= 1
+        self.blind_distance = int(plain.coeffs[0]) if plain.coeffs else 0
         key = pack_key(self.blind_distance, self.w, get_bitlen(self.w))
         self.is_near = self.bf.contains_u64(key)
         return self.is_near
@@ -101,18 +105,41 @@ class ProximityServer:
 
     def __init__(self, cfg: ProtocolConfig, blinding: Blinding | None = None):
         self.cfg = cfg
-        if blinding is None:
+        self._blinding = blinding  # resolved lazily (needs parms for q)
+
+    def _noise_aware_s_bits(self) -> int:
+        """Cap log2(s) so s * max(xb,yb) * nu_fresh < Delta/2.
+
+        The blind-distance noise is ~ s*(nu1 + xb*nu2 + yb*nu3); fresh RLWE
+        noise here has ||nu||_inf well under 2^16 for n <= 32768 (ternary u
+        convolved with CBD(21) noise). Margin bits cover the sum and rounding.
+        """
+        from ..utils.hexcodec import get_bitlen
+
+        delta_bits = self.ctx.delta.bit_length()
+        coord_bits = get_bitlen(max(self.cfg.xb, self.cfg.yb, 1))
+        nu_bits = 16
+        margin = 3
+        return delta_bits - 1 - coord_bits - nu_bits - margin
+
+    @property
+    def blinding(self) -> Blinding:
+        if self._blinding is None:
+            cfg = self.cfg
             if cfg.safe_blinding:
-                blinding = Blinding.for_protocol(
-                    cfg.plain_modulus_bits, cfg.sq_radius, cfg.seed
+                self._blinding = Blinding.for_protocol(
+                    cfg.plain_modulus_bits,
+                    cfg.sq_radius,
+                    cfg.seed,
+                    max_s_bits=self._noise_aware_s_bits(),
                 )
             else:
-                blinding = (
+                self._blinding = (
                     Blinding.sample()
                     if cfg.seed is None
                     else Blinding.deterministic(cfg.seed)
                 )
-        self.blinding = blinding
+        return self._blinding
 
     def receive_parms(self, blob: bytes):
         self.parms = load_parms(blob)
