@@ -53,7 +53,7 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
     return transforms / best
 
 
-def bench_multiply(n=4096, batch=64, iters=5):
+def bench_multiply(n=4096, batch=128, iters=5):
     """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
     import numpy as np
 
@@ -102,6 +102,40 @@ def bench_multiply(n=4096, batch=64, iters=5):
     return batch / best
 
 
+def bench_proximity_pipeline(n=4096, rows=25, iters=5):
+    """100k packed encrypted distance checks (BASELINE config[3]):
+    rows x n coefficients, server homo eval + device BEHZ decode."""
+    import numpy as np
+
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+    from pplp_tpu.bfv.encryptor import Encryptor
+    from pplp_tpu.bfv.keys import KeyGenerator
+    from pplp_tpu.parallel.pipeline import build_packed_pipeline, make_packed_inputs
+
+    parms = EncryptionParameters.bfv(n, 1 << 20, profile="tpu")
+    ctx = BFVContext.build(parms, engine="four")
+    kg = KeyGenerator(ctx, 0)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    fn = jax.jit(build_packed_pipeline(ctx, sk, 1000, 900, 501, 99))
+
+    total = rows * n  # 102400 checks
+    rng = np.random.default_rng(0)
+    xa = rng.integers(0, 1 << 20, total).astype(np.uint64)
+    ya = rng.integers(0, 1 << 20, total).astype(np.uint64)
+    args = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(1))
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return total, best
+
+
 def main():
     ntt_rate = bench_ntt()
     print(
@@ -111,6 +145,19 @@ def main():
                 "value": round(ntt_rate, 1),
                 "unit": "transforms/s",
                 "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+    checks, secs = bench_proximity_pipeline()
+    print(
+        json.dumps(
+            {
+                "metric": "proximity_checks_per_s_packed_n4096",
+                "value": round(checks / secs, 1),
+                "unit": "checks/s",
+                "batch_checks": checks,
+                "batch_latency_ms": round(secs * 1e3, 2),
             }
         ),
         file=sys.stderr,

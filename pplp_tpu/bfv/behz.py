@@ -292,18 +292,18 @@ class RnsMultiplier:
         c0, c1 = (prep(x) for x in ct1.polys)
         d0, d1 = (prep(x) for x in ct2.polys)
 
-        def tensor(a, b, basis_i):
-            tbx = tq if basis_i == 0 else tb
-            return ntt.pointwise_mul(a[basis_i], b[basis_i], tbx)
-
         es = []
         for basis_i, tbx in ((0, tq), (1, tb)):
             q_col = tbx.q[:, None]
-            e0 = tensor(c0, d0, basis_i)
-            e2 = tensor(c1, d1, basis_i)
-            cross1 = tensor(c0, d1, basis_i)
-            cross2 = tensor(c1, d0, basis_i)
-            e1 = p.add(cross1, cross2, q_col)
+            a0, a1 = c0[basis_i], c1[basis_i]
+            b0, b1 = d0[basis_i], d1[basis_i]
+            e0 = ntt.pointwise_mul(a0, b0, tbx)
+            e2 = ntt.pointwise_mul(a1, b1, tbx)
+            # Karatsuba: e1 = (a0+a1)(b0+b1) - e0 - e2 (3 multiplies).
+            cross = ntt.pointwise_mul(
+                p.add(a0, a1, q_col), p.add(b0, b1, q_col), tbx
+            )
+            e1 = p.sub(p.sub(cross, e0, q_col), e2, q_col)
             es.append(tuple(ntt.inverse(e, tbx) for e in (e0, e1, e2)))
 
         out_polys = []

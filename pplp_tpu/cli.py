@@ -111,7 +111,7 @@ def demo_main(args) -> int:
         profile=args.profile,
         seed=args.seed,
     )
-    res = run_local_demo(cfg)
+    res = run_local_demo(cfg, print_bf=bool(args.print_bf))
     return 0 if res is not None else 1
 
 

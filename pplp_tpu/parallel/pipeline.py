@@ -24,24 +24,36 @@ from ..utils.hexcodec import uint64_to_hex_string
 __all__ = ["build_batched_pipeline", "make_batch_inputs"]
 
 
-def _plain_pairs(ctx, value: int):
+def _plain_pairs(ctx, value: int, full: bool = False):
+    """Constant-poly pairs; full=True replicates the value in every
+    coefficient (for coefficient-packed batches, where additive terms must
+    reach every slot)."""
+    if full:
+        m = np.full(ctx.n, value % ctx.t, np.uint64)
+        return (
+            jnp.asarray((m & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((m >> np.uint64(32)).astype(np.uint32)),
+        )
     lo, hi = Plaintext(uint64_to_hex_string(value % ctx.t), n=ctx.n).pair_u32(ctx.n)
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
-def build_batched_pipeline(ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int):
+def build_batched_pipeline(
+    ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int, packed: bool = False
+):
     """Returns fn(c1_polys, c2_polys, c3_polys) -> residues [B, L, n].
 
     The returned function is pure and jittable; ciphertext args are the
-    ``polys`` tuples of coefficient-domain ciphertexts.
+    ``polys`` tuples of coefficient-domain ciphertexts. packed=True makes the
+    additive terms (z, s*r) reach every coefficient slot.
     """
     ev = Evaluator(ctx)
     dec = Decryptor(ctx, sk)
-    z_p = _plain_pairs(ctx, xb * xb + yb * yb)
+    z_p = _plain_pairs(ctx, xb * xb + yb * yb, full=packed)
     xb_p = _plain_pairs(ctx, xb)
     yb_p = _plain_pairs(ctx, yb)
     s_p = _plain_pairs(ctx, s_blind)
-    sr_p = _plain_pairs(ctx, s_blind * r_blind)
+    sr_p = _plain_pairs(ctx, s_blind * r_blind, full=packed)
 
     def step(c1_polys, c2_polys, c3_polys):
         c1 = Ciphertext(c1_polys, "coeff")
@@ -56,6 +68,52 @@ def build_batched_pipeline(ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int
         return dec.ct_value_rns(c1)
 
     return step
+
+
+def build_packed_pipeline(ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int):
+    """Coefficient-packed pipeline: n proximity checks per ciphertext row.
+
+    Every coefficient j of the plaintext carries one client's (u_j, 2xa_j,
+    2ya_j); the server's ops are scalar plain multiplies/adds, which act
+    coefficient-wise, so one [B, L, n] ciphertext batch evaluates B*n
+    independent checks. Returns fn(c1, c2, c3 polys) -> blind distances
+    [B, n] mod t (device BEHZ decode; requires t < 2^30).
+    """
+    from ..bfv.rns_decrypt import RnsDecoder
+
+    step = build_batched_pipeline(ctx, sk, xb, yb, s_blind, r_blind, packed=True)
+    decoder = RnsDecoder(ctx)
+
+    def packed(c1_polys, c2_polys, c3_polys):
+        return decoder.decode_mod_t(step(c1_polys, c2_polys, c3_polys))
+
+    return packed
+
+
+def make_packed_inputs(ctx, encryptor: Encryptor, xa, ya, key):
+    """Encrypt N = B*n client coordinate pairs packed into coefficients.
+
+    xa, ya: uint arrays [N] with N a multiple of n. Returns the three
+    ciphertext poly tuples with [B, L, n] leaves.
+    """
+    xa = np.asarray(xa, np.uint64)
+    ya = np.asarray(ya, np.uint64)
+    n = ctx.n
+    assert xa.size % n == 0
+    B = xa.size // n
+
+    def pairs(vals):
+        m = (vals % np.uint64(ctx.t)).reshape(B, n)
+        return (
+            jnp.asarray((m & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((m >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    c1 = encryptor.encrypt_pairs(*pairs(xa * xa + ya * ya), k1)
+    c2 = encryptor.encrypt_pairs(*pairs(xa * np.uint64(2)), k2)
+    c3 = encryptor.encrypt_pairs(*pairs(ya * np.uint64(2)), k3)
+    return c1.polys, c2.polys, c3.polys
 
 
 def make_batch_inputs(ctx, encryptor: Encryptor, xa, ya, key):

@@ -28,7 +28,9 @@ class DemoResult:
         return "near" if self.is_near else "far"
 
 
-def run_local_demo(cfg: ProtocolConfig | None = None, verbose: bool = True) -> DemoResult:
+def run_local_demo(
+    cfg: ProtocolConfig | None = None, verbose: bool = True, print_bf: bool = False
+) -> DemoResult:
     cfg = cfg or ProtocolConfig()
     log = print if verbose else (lambda *a, **k: None)
     log(f"Client's coordinates:\t({cfg.xa}, {cfg.ya})")
@@ -58,6 +60,13 @@ def run_local_demo(cfg: ProtocolConfig | None = None, verbose: bool = True) -> D
         client.keygen()
     with timed("setBF"):
         server.build_bloom_filter()
+    if print_bf:  # demo.cc:123-124: print each blinded distance in hex
+        bl = server.blinding
+        log(" ".join(
+            format(bl.s * (di + bl.r) & ((1 << 64) - 1), "x")
+            for di in range(cfg.sq_radius)
+        ))
+        log(format(bl.r * bl.s & ((1 << 64) - 1), "x"))  # demo.cc:128
     with timed("enc"):
         blobs = client.ciphertext_messages()
     with timed("homoCalc"):

@@ -66,7 +66,11 @@ def client_main(args) -> int:
         false_positive_probability=1e-4,  # src/server.cc:85 parity
         profile=args.profile,
     )
-    chan = connect_to_server(args.host, args.port, ipv6=args.ipv6)
+    try:
+        chan = connect_to_server(args.host, args.port, ipv6=args.ipv6)
+    except OSError as e:
+        print(f"connect: {e.strerror or e}")
+        return 1
     print("Connected to the server,  proximity test start...")
     print(f"Client's coordinates:\t({cfg.xa}, {cfg.ya})")
     print(f"Radius:\t\t\t\t{cfg.radius}")

@@ -77,3 +77,26 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_packed_pipeline_100_checks():
+    # Coefficient packing: N checks in N/n ciphertext rows; blind distances
+    # match the clear oracle for every packed coordinate pair.
+    from pplp_tpu.parallel.pipeline import build_packed_pipeline, make_packed_inputs
+
+    ctx = make_ctx()
+    kg = KeyGenerator(ctx, 21)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    xb, yb, s_blind, r_blind = 1000, 900, 501, 99
+    fn = jax.jit(build_packed_pipeline(ctx, sk, xb, yb, s_blind, r_blind))
+
+    rng = np.random.default_rng(5)
+    total = 2 * N  # two ciphertext rows
+    xa = rng.integers(0, 2000, total).astype(np.uint64)
+    ya = rng.integers(0, 2000, total).astype(np.uint64)
+    args = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(6))
+    bd = np.asarray(fn(*args)).reshape(-1)
+    for j in range(total):
+        d2 = (int(xa[j]) - xb) ** 2 + (int(ya[j]) - yb) ** 2
+        assert int(bd[j]) == (s_blind * (d2 + r_blind)) % T

@@ -1,0 +1,67 @@
+"""Device BEHZ decode vs the host CRT decode (oracle)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pplp_tpu.bfv import (
+    BFVContext,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    Evaluator,
+    KeyGenerator,
+    Plaintext,
+)
+from pplp_tpu.bfv.rns_decrypt import RnsDecoder
+from pplp_tpu.ops.primes import get_primes
+
+N = 256
+
+
+@pytest.mark.parametrize("t", [1 << 16, 65537, (1 << 20), 786433])
+def test_device_decode_matches_host(t):
+    chain = get_primes(28, 2, N) + get_primes(27, 1, N)
+    ctx = BFVContext.build(EncryptionParameters.bfv(N, t, coeff_modulus=chain))
+    kg = KeyGenerator(ctx, 1)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec, ev = Encryptor(ctx, pk), Decryptor(ctx, sk), Evaluator(ctx)
+    dec_dev = RnsDecoder(ctx)
+
+    rng = np.random.default_rng(0)
+    msgs = [int(v) for v in rng.integers(0, t, size=N)]
+    ct = enc.encrypt(Plaintext(msgs), jax.random.key(2))
+    # Stress the rounding with extra noise: a few scalar multiplies.
+    ct = ev.multiply_plain(ct, Plaintext(format(0x1FF, "X")))
+    expect = [(m * 0x1FF) % t for m in msgs]
+
+    host = dec.decrypt(ct).coeffs[:N]
+    assert host == expect
+    x = dec.ct_value_rns(ct)
+    got = np.asarray(jax.jit(dec_dev.decode_mod_t)(x)).tolist()
+    assert got == expect
+
+
+def test_device_decode_batched():
+    t = 1 << 16
+    chain = get_primes(28, 3, N)
+    ctx = BFVContext.build(EncryptionParameters.bfv(N, t, coeff_modulus=chain))
+    kg = KeyGenerator(ctx, 3)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    dec = Decryptor(ctx, sk)
+    dec_dev = RnsDecoder(ctx)
+    B = 3
+    import jax.numpy as jnp
+
+    m = np.zeros((B, N), np.uint64)
+    m[:, 0] = [5, 70000 % t, 12345]
+    pairs = (
+        jnp.asarray((m & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((m >> np.uint64(32)).astype(np.uint32)),
+    )
+    ct = enc.encrypt_pairs(*pairs, jax.random.key(4))
+    got = np.asarray(dec_dev.decode_mod_t(dec.ct_value_rns(ct)))
+    assert got.shape == (B, N)
+    assert list(got[:, 0]) == [5, 70000 % t, 12345]
+    assert (got[:, 1:] == 0).all()
