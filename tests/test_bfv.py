@@ -125,3 +125,32 @@ def test_hex_plaintext_protocol_path():
     bd = int(dec.decrypt(c1).to_string(), 16)
     d2 = (xa - xb) ** 2 + (ya - yb) ** 2
     assert bd == (s_blind * (d2 + r_blind)) % t
+
+
+def test_batch_encoder_simd():
+    # Prime t = 1 mod 2n: slot-wise add via evaluator add, slot-wise product
+    # via ct-ct multiply (SEAL BatchEncoder capability).
+    from pplp_tpu.bfv.batch_encoder import BatchEncoder
+    from pplp_tpu.bfv.behz import RnsMultiplier
+    from pplp_tpu.ops.primes import get_primes
+
+    t = get_primes(20, 1, N)[0]  # 20-bit prime = 1 mod 2N
+    ctx = make_ctx("m31", t)
+    enc, ev, dec = roles(ctx, seed=9)
+    be = BatchEncoder(ctx)
+    assert be.slot_count == N
+
+    rng = np.random.default_rng(2)
+    a = [int(v) for v in rng.integers(0, t, size=N)]
+    b = [int(v) for v in rng.integers(0, t, size=N)]
+    pa, pb = be.encode(a), be.encode(b)
+    assert be.decode(pa) == a  # roundtrip
+
+    ca = enc.encrypt(pa, jax.random.key(30))
+    cb = enc.encrypt(pb, jax.random.key(31))
+    got_sum = be.decode(dec.decrypt(ev.add(ca, cb)))
+    assert got_sum == [(x + y) % t for x, y in zip(a, b)]
+
+    mul = RnsMultiplier(ctx)
+    got_prod = be.decode(dec.decrypt(mul.multiply(ca, cb)))
+    assert got_prod == [(x * y) % t for x, y in zip(a, b)]
