@@ -53,7 +53,7 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
     return transforms / best
 
 
-def bench_multiply(n=4096, batch=128, iters=5):
+def bench_multiply(n=4096, batch=256, iters=5):
     """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
     import numpy as np
 
@@ -136,7 +136,51 @@ def bench_proximity_pipeline(n=4096, rows=25, iters=5):
     return total, best
 
 
+def bench_dgk(batch=10000, k=2048, t=320, l=16, iters=2):
+    """10k-wide DGK homomorphic comparisons (BASELINE config[2]).
+
+    Gated behind PPLP_BENCH_DGK=1: keygen + scan compiles add minutes."""
+    import random
+
+    from pplp_tpu.dgk import dgk_gen_keys
+    from pplp_tpu.dgk.batched import DGKBatch
+    from pplp_tpu.dgk.dgk import dgk_random_num
+
+    priv, pub = dgk_gen_keys(k, t, l, seed=5, init_table=False)
+    dbatch = DGKBatch.build(pub)
+    rng = random.Random(0)
+    ms = [rng.randrange(0, pub.u) for _ in range(batch)]
+    rs = [dgk_random_num(int(2.5 * t), rng) for _ in range(batch)]
+    cts = dbatch.encrypt_batch(ms, rs)
+    f = jax.jit(
+        lambda a, b, c: dbatch.blind_distance_batch(a, b, c, 123321, 123654, 37, cts, cts)
+    )
+    out = f(cts, cts, cts)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = f(cts, cts, cts)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch / best
+
+
 def main():
+    import os
+
+    if os.environ.get("PPLP_BENCH_DGK") == "1":
+        rate = bench_dgk()
+        print(
+            json.dumps(
+                {
+                    "metric": "dgk_comparisons_per_s_k2048",
+                    "value": round(rate, 1),
+                    "unit": "comparisons/s",
+                }
+            ),
+            file=sys.stderr,
+        )
     ntt_rate = bench_ntt()
     print(
         json.dumps(

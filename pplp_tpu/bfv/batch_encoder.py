@@ -8,9 +8,10 @@ vector, decode = forward NTT. Slot-wise add then corresponds to evaluator
 add, and slot-wise multiply to ct-ct multiply. Reuses the engine's NTT
 machinery with a single-modulus chain [t] (m31 profile; t < 2^30).
 
-(SEAL arranges slots as a 2 x n/2 matrix with a Galois permutation; this
-encoder uses the plain NTT slot order — a fixed public permutation of
-SEAL's, equivalent in capability. Rotations/Galois keys are future work.)
+Slots follow SEAL's 2 x (n/2) matrix layout: row-0 slot j evaluates the
+plaintext at psi^(3^j mod 2n), row-1 at psi^(-3^j mod 2n) — so
+``galois.rotate_rows`` cyclically rotates each row and ``rotate_columns``
+swaps the rows, exactly like SEAL's BatchEncoder + Evaluator::rotate_*.
 """
 
 from __future__ import annotations
@@ -38,6 +39,35 @@ class BatchEncoder:
         self.ctx = ctx
         self.slot_count = n
         self._tb = ntt.build_tables([Modulus(t)], n)
+        self._perm = self._orbit_permutation(n)
+
+    @staticmethod
+    def _orbit_permutation(n: int) -> np.ndarray:
+        """perm[j] = spectrum position of slot j (SEAL matrix layout).
+
+        The stage engine's forward NTT puts the evaluation at psi^(2k+1) at
+        position brv(k). Row-0 slot j sits at exponent 3^j mod 2n; row-1 at
+        2n - 3^j.
+        """
+        logn = n.bit_length() - 1
+
+        def brv(k):
+            r = 0
+            for _ in range(logn):
+                r = (r << 1) | (k & 1)
+                k >>= 1
+            return r
+
+        m = 2 * n
+        perm = np.zeros(n, np.int64)
+        e = 1  # 3^j mod 2n
+        for j in range(n // 2):
+            k0 = ((e - 1) // 2) % n
+            k1 = ((m - e - 1) // 2) % n
+            perm[j] = brv(k0)
+            perm[n // 2 + j] = brv(k1)
+            e = (e * 3) % m
+        return perm
 
     def encode(self, values) -> Plaintext:
         """values: ints [<= n] -> plaintext whose slots hold them."""
@@ -46,9 +76,11 @@ class BatchEncoder:
         slots = np.zeros(n, np.uint64)
         vals = np.asarray(values, np.uint64)
         slots[: vals.size] = vals % np.uint64(t)
+        spec_np = np.zeros(n, np.uint32)
+        spec_np[self._perm] = slots.astype(np.uint32)
         import jax.numpy as jnp
 
-        spec = jnp.asarray(slots.astype(np.uint32))[None, :]  # [1, n] residues
+        spec = jnp.asarray(spec_np)[None, :]  # [1, n] residues
         coeffs = np.asarray(ntt.inverse(spec, self._tb))[0]
         return Plaintext([int(c) for c in coeffs])
 
@@ -60,4 +92,5 @@ class BatchEncoder:
         import jax.numpy as jnp
 
         x = jnp.asarray(coeffs.astype(np.uint32))[None, :]
-        return [int(v) for v in np.asarray(ntt.forward(x, self._tb))[0]]
+        spec = np.asarray(ntt.forward(x, self._tb))[0]
+        return [int(v) for v in spec[self._perm]]

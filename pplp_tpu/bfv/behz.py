@@ -8,17 +8,16 @@ n=4096):
 
   1. extend both ciphertexts from base Q to auxiliary base B_sk via
      m_tilde-scaled fast base conversion + small Montgomery reduction,
-  2. tensor the ciphertexts in NTT domain over Q and B_sk,
+  2. tensor the ciphertexts in NTT domain over Q and B_sk (Karatsuba),
   3. fast floor: w ~ floor(t * e / q) computed in B_sk,
   4. Shenoy–Kumaresan exact conversion B_sk -> Q.
 
-Everything is u32-lane arithmetic (m31 profile: all primes < 2^30). The base
-conversions are per-coefficient mod-matrix contractions accumulated in 96-bit
-limbs and Barrett-reduced once per target modulus.
-
-Relinearization uses the RNS gadget g_i (=1 mod q_i, =0 mod q_j): digits are
-simply the per-limb residues of c2, so key switching is k NTTs + 2k pointwise
-multiplies against NTT-domain relin keys.
+Supported on both residue profiles: m31 (<2^30 primes — the fast path; base
+conversions are 96-bit column accumulations) and m62 (SEAL-style 36..61-bit
+chains as u32 pairs; conversions accumulate 160-bit columns). Relinearization
+uses the RNS gadget g_i (=1 mod q_i, =0 mod q_j): digits are the per-limb
+residues of c2, so key switching is k NTTs + 2k pointwise multiplies against
+NTT-domain relin keys.
 """
 
 from __future__ import annotations
@@ -33,7 +32,7 @@ import numpy as np
 
 from ..ops import modmath as mm
 from ..ops import ntt
-from ..ops.primes import Modulus, get_primes, is_prime
+from ..ops.primes import Modulus, get_primes
 from .ciphertext import Ciphertext
 from .context import BFVContext
 
@@ -41,14 +40,32 @@ __all__ = ["RnsMultiplier", "RelinKeys", "create_relin_keys", "relinearize"]
 
 M_TILDE_BITS = 16
 M_TILDE = 1 << M_TILDE_BITS
+_M32 = 0xFFFFFFFF
 
 
 def _u32s(vals):
     return jnp.asarray(np.asarray(vals, dtype=np.uint32))
 
 
-def _shoup32(w, q):
-    return (int(w) << 32) // int(q)
+def _limb_split(vals, nlimb, col=True):
+    """Python ints -> tuple of u32 arrays, optionally shaped [L, 1]."""
+    parts = []
+    for i in range(nlimb):
+        arr = _u32s([(int(v) >> (32 * i)) & _M32 for v in vals])
+        parts.append(arr[:, None] if col else arr)
+    return tuple(parts)
+
+
+def _tmap(f, *xs):
+    return jax.tree.map(f, *xs)
+
+
+def _tslice_limbs(x, sl):
+    return _tmap(lambda a: a[..., sl, :], x)
+
+
+def _twhere(mask, a, b):
+    return _tmap(lambda u, v: jnp.where(mask, u, v), a, b)
 
 
 def _reduce96(z0, z1, z2, q, mu_lo, mu_hi):
@@ -68,123 +85,81 @@ class _Basis:
     def k(self):
         return len(self.moduli)
 
-    def q_col(self):  # [k, 1] for [..., k, n] activations
-        return self.tables.q[:, None]
+    @property
+    def profile(self):
+        return self.tables.profile
+
+    def q_col(self):  # broadcastable against [..., k, n]
+        return _tmap(lambda a: a[:, None], self.tables.q)
 
     def mu_col(self):
         return tuple(m[:, None] for m in self.tables.mu)
 
+    def shoup_const(self, vals):
+        """Per-limb constants with Shoup companions, profile-packed."""
+        if self.profile == "m31":
+            w = _u32s(vals)[:, None]
+            ws = _u32s(
+                [(int(v) << 32) // m.value for v, m in zip(vals, self.moduli)]
+            )[:, None]
+            return w, ws
+        w = _limb_split(vals, 2)
+        ws = _limb_split(
+            [(int(v) << 64) // m.value for v, m in zip(vals, self.moduli)], 2
+        )
+        return w, ws
 
-def _conv_matrix(src: _Basis, dst_moduli: list[int]) -> tuple:
-    """|prod(src)/src_i|_m  as [D, S] u32 with per-(D,S) values."""
+    def mulmod_shoup(self, x, const):
+        w, ws = const
+        p = mm.m31 if self.profile == "m31" else mm.m62
+        return p.mulmod_shoup(x, w, ws, self.q_col())
+
+    def add(self, x, y):
+        p = mm.m31 if self.profile == "m31" else mm.m62
+        return p.add(x, y, self.q_col())
+
+    def sub(self, x, y):
+        p = mm.m31 if self.profile == "m31" else mm.m62
+        return p.sub(x, y, self.q_col())
+
+
+@dataclass(frozen=True, eq=False)
+class _SubBasis(_Basis):
+    """The first ``head`` limbs of a parent basis (shares its tables)."""
+
+    head: int = 0
+
+    def q_col(self):
+        return _tmap(lambda a: a[: self.head, None], self.tables.q)
+
+    def mu_col(self):
+        return tuple(m[: self.head, None] for m in self.tables.mu)
+
+
+def _conv_ints(src_moduli, dst_moduli, extra=1):
+    """|prod(src)/src_i * extra|_d as python ints [D][S]."""
     prod = 1
-    for m in src.moduli:
+    for m in src_moduli:
         prod *= m.value
-    mat = [[(prod // s.value) % d for s in src.moduli] for d in dst_moduli]
-    return _u32s(mat)
+    return [[(prod // s.value * extra) % d.value for s in src_moduli]
+            for d in dst_moduli]
 
 
-class RnsMultiplier:
-    """BEHZ multiplier bound to one BFVContext (m31 profile only)."""
+def _accum_reduce(y, conv, dst: _Basis):
+    """sum_i y[..., i, :] * conv[d][i] mod dst_d -> [..., D, n].
 
-    def __init__(self, ctx: BFVContext):
-        if ctx.tables.profile != "m31":
-            raise NotImplementedError(
-                "ct-ct multiply currently requires the TPU chain profile "
-                "(<2^30 primes); use EncryptionParameters.bfv(..., "
-                "profile='tpu')"
-            )
-        self.ctx = ctx
-        n = ctx.n
-        t = ctx.t
-        k = ctx.L
-        q_values = [m.value for m in ctx.moduli]
-        q = ctx.q
-
-        # Size the auxiliary base: need prod(B) > 2 * n * t * q (SK bound on
-        # |w| ~ t*e/q) with margin for the uncentered sm_mrq (x_hat < 2q).
-        need_bits = q.bit_length() + t.bit_length() + n.bit_length() + 6
-        l = max(k + 1, (need_bits + 28) // 29)
-        # B primes: 30-bit NTT-friendly primes distinct from Q's.
-        pool = [p for p in get_primes(30, l + k + 2, n) if p not in q_values]
-        b_values = pool[: l]
-        msk = pool[l]
-        assert len(b_values) == l
-
-        self.base_q = _Basis(ctx.moduli, ctx.tables)
-        bsk_moduli = [Modulus(p) for p in b_values + [msk]]
-        self.base_bsk = _Basis(
-            tuple(bsk_moduli),
-            ntt.build_tables(bsk_moduli, n, engine=ctx.tables.engine),
-        )
-        self.l = l
-        self.msk = msk
-        M = 1
-        for p in b_values:
-            M *= p
-
-        qm = [m.value for m in ctx.moduli]
-        # --- Q -> B_sk u {m_tilde} conversion constants -------------------
-        # y_i = x_i * |m_tilde * (q/q_i)^{-1}|_{q_i}  (merged constant).
-        mrg = [
-            (M_TILDE * pow(q // qi, -1, qi)) % qi for qi in qm
-        ]
-        self.mtilde_qhat_inv = (_u32s(mrg)[:, None],
-                                _u32s([_shoup32(v, qi) for v, qi in zip(mrg, qm)])[:, None])
-        self.conv_q_to_bsk = _conv_matrix(self.base_q, [m.value for m in bsk_moduli])
-        self.conv_q_to_mtilde = _u32s([(q // qi) % M_TILDE for qi in qm])
-        # sm_mrq constants.
-        self.neg_inv_q_mtilde = int(pow(-q, -1, M_TILDE))
-        self.q_mod_bsk = _u32s([q % m.value for m in bsk_moduli])[:, None]
-        inv_mtilde = [pow(M_TILDE, -1, m.value) for m in bsk_moduli]
-        self.inv_mtilde_bsk = (
-            _u32s(inv_mtilde)[:, None],
-            _u32s([_shoup32(v, m.value) for v, m in zip(inv_mtilde, bsk_moduli)])[:, None],
-        )
-        # --- fast floor constants ----------------------------------------
-        tq = [t % qi for qi in qm]
-        self.t_mod_q = (_u32s(tq)[:, None],
-                        _u32s([_shoup32(v, qi) for v, qi in zip(tq, qm)])[:, None])
-        tb = [t % m.value for m in bsk_moduli]
-        self.t_mod_bsk = (_u32s(tb)[:, None],
-                          _u32s([_shoup32(v, m.value) for v, m in zip(tb, bsk_moduli)])[:, None])
-        invq_b = [pow(q % m.value, -1, m.value) for m in bsk_moduli]
-        self.inv_q_bsk = (
-            _u32s(invq_b)[:, None],
-            _u32s([_shoup32(v, m.value) for v, m in zip(invq_b, bsk_moduli)])[:, None],
-        )
-        # --- B_sk -> Q (Shenoy-Kumaresan) constants -----------------------
-        b_basis_moduli = bsk_moduli[:-1]
-        bhat_inv = [pow(M // p.value, -1, p.value) for p in b_basis_moduli]
-        self.bhat_inv = (
-            _u32s(bhat_inv)[:, None],
-            _u32s([_shoup32(v, p.value) for v, p in zip(bhat_inv, b_basis_moduli)])[:, None],
-        )
-        b_only = _Basis(tuple(b_basis_moduli), self.base_bsk.tables)  # tables unused
-        self.conv_b_to_q = _conv_matrix(b_only, qm)
-        self.conv_b_to_msk = _conv_matrix(b_only, [msk])
-        inv_M_msk = pow(M % msk, -1, msk)
-        self.inv_M_msk = (jnp.uint32(inv_M_msk), jnp.uint32(_shoup32(inv_M_msk, msk)))
-        Mq = [M % qi for qi in qm]
-        self.M_mod_q = (_u32s(Mq)[:, None],
-                        _u32s([_shoup32(v, qi) for v, qi in zip(Mq, qm)])[:, None])
-        # Residues of m_sk * M, added back where centered alpha is negative.
-        self.mskM_mod_q = _u32s([(msk * M) % qi for qi in qm])[:, None]
-        self.msk_idx = l  # position of m_sk inside base_bsk
-
-    # ------------------------------------------------------------------
-
-    def _fastbconv(self, y, conv, dst: _Basis | None, dst_q=None, dst_mu=None):
-        """sum_i y[..., i, :] * conv[d, i] mod dst_d -> [..., D, n].
-
-        y entries < 2^30, conv < 2^30: accumulate exact 96-bit sums.
-        """
-        D, S = conv.shape
+    m31: exact 96-bit column accumulation.
+    m62: exact 160-bit accumulation via comba partials + top-limb fold.
+    """
+    D = len(conv)
+    S = len(conv[0])
+    if dst.profile == "m31":
+        cm = _u32s(conv)  # [D, S]
         z0 = z1 = z2 = None
         for i in range(S):
-            yi = y[..., i : i + 1, :]  # [..., 1, n]
-            ci = conv[:, i][:, None]  # [D, 1]
-            lo, hi = mm.mul32(yi, ci)  # broadcast -> [..., D, n]
+            yi = y[..., i : i + 1, :]
+            ci = cm[:, i][:, None]
+            lo, hi = mm.mul32(yi, ci)
             if z0 is None:
                 z0, z1, z2 = lo, hi, jnp.zeros_like(lo)
             else:
@@ -195,86 +170,211 @@ class RnsMultiplier:
                 z1 = z1n + c0
                 c1 = c1 + (z1 < z1n).astype(jnp.uint32)
                 z2 = z2 + c1
-        if dst is not None:
-            dst_q = dst.q_col()
-            dst_mu = dst.mu_col()
-        return _reduce96(z0, z1, z2, dst_q, dst_mu[0], dst_mu[1])
+        q = dst.tables.q[:, None]
+        mu_lo, mu_hi = dst.mu_col()
+        return _reduce96(z0, z1, z2, q, mu_lo, mu_hi)
+
+    # m62: accumulate 5 u32 limbs exactly.
+    c0m = [[(c >> 0) & _M32 for c in row] for row in conv]
+    c1m = [[(c >> 32) & _M32 for c in row] for row in conv]
+    c0a = _u32s(c0m)  # [D, S]
+    c1a = _u32s(c1m)
+    acc = None
+    for i in range(S):
+        ylo = y[0][..., i : i + 1, :]
+        yhi = y[1][..., i : i + 1, :]
+        prod = mm.comba_mul([ylo, yhi], [c0a[:, i][:, None], c1a[:, i][:, None]])
+        prod5 = prod + [jnp.zeros_like(prod[0])]
+        acc = prod5 if acc is None else mm.limbs_add(acc, prod5)
+    q = dst.q_col()
+    ratio = dst.mu_col()
+    low = mm.m62.reduce128(tuple(acc[:4]), q, ratio)
+    # Fold the top limb: acc[4] * 2^128 mod m.
+    top = (acc[4], jnp.zeros_like(acc[4]))
+    r128 = dst.shoup_const([(1 << 128) % m.value for m in dst.moduli])
+    return dst.add(low, dst.mulmod_shoup(top, r128))
+
+
+def _low16(y, profile, idx):
+    arr = y if profile == "m31" else y[0]
+    return arr[..., idx, :] & jnp.uint32(M_TILDE - 1)
+
+
+class RnsMultiplier:
+    """BEHZ multiplier bound to one BFVContext (either residue profile)."""
+
+    def __init__(self, ctx: BFVContext):
+        self.ctx = ctx
+        n = ctx.n
+        t = ctx.t
+        k = ctx.L
+        profile = ctx.tables.profile
+        q_values = [m.value for m in ctx.moduli]
+        q = ctx.q
+
+        # Size the auxiliary base: need prod(B) > 2 * n * t * q (SK bound on
+        # |w| ~ t*e/q) with margin for the uncentered sm_mrq (x_hat < 2q).
+        need_bits = q.bit_length() + t.bit_length() + n.bit_length() + 6
+        if profile == "m31":
+            p_bits, p_cap = 30, 29
+        else:
+            p_bits, p_cap = 60, 59
+        l = max(k + 1, (need_bits + p_cap - 1) // p_cap)
+        pool = [p for p in get_primes(p_bits, l + k + 2, n) if p not in q_values]
+        b_values = pool[:l]
+        msk = pool[l]
+        assert len(b_values) == l
+
+        self.base_q = _Basis(ctx.moduli, ctx.tables)
+        bsk_moduli = [Modulus(p) for p in b_values + [msk]]
+        self.base_bsk = _Basis(
+            tuple(bsk_moduli),
+            ntt.build_tables(bsk_moduli, n, engine=ctx.tables.engine),
+        )
+        # Single-modulus "basis" views for m_sk-only arithmetic.
+        self.base_msk = _Basis(
+            (Modulus(msk),), ntt.build_tables([Modulus(msk)], n)
+        )
+        self.b_only = _SubBasis(
+            tuple(bsk_moduli[:-1]), self.base_bsk.tables, head=l
+        )
+        self.l = l
+        self.msk = msk
+        M = 1
+        for p in b_values:
+            M *= p
+        self.M = M
+
+        qm = q_values
+        bq, bb = self.base_q, self.base_bsk
+        # --- Q -> B_sk u {m_tilde} conversion constants -------------------
+        self.mtilde_qhat_inv = bq.shoup_const(
+            [(M_TILDE * pow(q // qi, -1, qi)) % qi for qi in qm]
+        )
+        self.conv_q_to_bsk = _conv_ints(ctx.moduli, bsk_moduli)
+        self.conv_q_to_mtilde = _u32s([(q // qi) % M_TILDE for qi in qm])
+        self.neg_inv_q_mtilde = int(pow(-q, -1, M_TILDE))
+        self.q_mod_bsk_ints = [q % m.value for m in bsk_moduli]
+        self.inv_mtilde_bsk = bb.shoup_const(
+            [pow(M_TILDE, -1, m.value) for m in bsk_moduli]
+        )
+        # --- fast floor constants ----------------------------------------
+        self.t_mod_q = bq.shoup_const([t % qi for qi in qm])
+        self.t_mod_bsk = bb.shoup_const([t % m.value for m in bsk_moduli])
+        self.inv_q_bsk = bb.shoup_const(
+            [pow(q % m.value, -1, m.value) for m in bsk_moduli]
+        )
+        self.qhat_inv = bq.shoup_const([pow(q // qi, -1, qi) for qi in qm])
+        # --- B_sk -> Q (Shenoy-Kumaresan) constants -----------------------
+        b_basis = bsk_moduli[:-1]
+        self.bhat_inv_b = [pow(M // p.value, -1, p.value) for p in b_basis]
+        self.conv_b_to_q = _conv_ints(b_basis, ctx.moduli)
+        self.conv_b_to_msk = _conv_ints(b_basis, [Modulus(msk)])
+        self.inv_M_msk = self.base_msk.shoup_const([pow(M % msk, -1, msk)])
+        self.M_mod_q = bq.shoup_const([M % qi for qi in qm])
+        self.mskM_mod_q_ints = [(msk * M) % qi for qi in qm]
+        self.msk_half = msk // 2
+
+    # ------------------------------------------------------------------
+
+    def _bhat_inv_const(self):
+        """Shoup consts for the B-only sub-basis (first l limbs of B_sk)."""
+        bb = self.base_bsk
+        if bb.profile == "m31":
+            w = _u32s(self.bhat_inv_b)[:, None]
+            ws = _u32s(
+                [(int(v) << 32) // m.value
+                 for v, m in zip(self.bhat_inv_b, self.b_only.moduli)]
+            )[:, None]
+            return w, ws
+        w = _limb_split(self.bhat_inv_b, 2)
+        ws = _limb_split(
+            [(int(v) << 64) // m.value
+             for v, m in zip(self.bhat_inv_b, self.b_only.moduli)], 2
+        )
+        return w, ws
+
+    def _small_mul_mod(self, const_ints, r, dst: _Basis):
+        """const_d * r mod dst_d for u32 r [..., n] -> [..., D, n]."""
+        if dst.profile == "m31":
+            cm = _u32s(const_ints)[:, None]
+            lo, hi = mm.mul32(cm, r[..., None, :])
+            q = dst.tables.q[:, None]
+            mu_lo, mu_hi = dst.mu_col()
+            return mm.m31.reduce64(lo, hi, q, mu_lo, mu_hi)
+        c = _limb_split(const_ints, 2)
+        rb = r[..., None, :]
+        prod = mm.comba_mul([c[0], c[1]], [rb])  # 3 limbs
+        z = (prod[0], prod[1], prod[2], jnp.zeros_like(prod[0]))
+        return mm.m62.reduce128(z, dst.q_col(), dst.mu_col())
 
     def _to_bsk(self, x_q):
-        """Base extension Q -> B_sk with m_tilde Montgomery correction.
-
-        x_q: [..., k, n] residues. Returns [..., l+1, n] residues in B_sk.
-        """
-        p = mm.m31
-        bq = self.base_q
-        y = p.mulmod_shoup(x_q, *self.mtilde_qhat_inv, bq.q_col())
-        x_bsk = self._fastbconv(y, self.conv_q_to_bsk, self.base_bsk)
-        # m_tilde component: 16-bit arithmetic, mod = mask.
+        """Base extension Q -> B_sk with m_tilde Montgomery correction."""
+        bq, bb = self.base_q, self.base_bsk
+        y = bq.mulmod_shoup(x_q, self.mtilde_qhat_inv)
+        x_bsk = _accum_reduce(y, self.conv_q_to_bsk, bb)
+        # m_tilde component: 16-bit arithmetic.
         mask = jnp.uint32(M_TILDE - 1)
-        acc = jnp.zeros_like(y[..., 0, :])
+        acc = None
         for i in range(bq.k):
-            acc = (acc + (y[..., i, :] & mask) * self.conv_q_to_mtilde[i]) & mask
+            term = (_low16(y, bq.profile, i) * self.conv_q_to_mtilde[i]) & mask
+            acc = term if acc is None else (acc + term) & mask
         r = (acc * jnp.uint32(self.neg_inv_q_mtilde)) & mask
-        # x_hat = (x' + q * r) / m_tilde per B_sk modulus.
-        lo, hi = mm.mul32(self.q_mod_bsk, r[..., None, :])
-        bsk_q = self.base_bsk.q_col()
-        bsk_mu = self.base_bsk.mu_col()
-        corr = mm.m31.reduce64(lo, hi, bsk_q, bsk_mu[0], bsk_mu[1])
-        x_bsk = p.add(x_bsk, corr, bsk_q)
-        return p.mulmod_shoup(x_bsk, *self.inv_mtilde_bsk, bsk_q)
+        corr = self._small_mul_mod(self.q_mod_bsk_ints, r, bb)
+        x_bsk = bb.add(x_bsk, corr)
+        return bb.mulmod_shoup(x_bsk, self.inv_mtilde_bsk)
 
     def _fast_floor(self, e_q, e_bsk):
         """floor(t * e / q) (with BEHZ-bounded error) expressed in B_sk."""
-        p = mm.m31
         bq, bb = self.base_q, self.base_bsk
-        te_q = p.mulmod_shoup(e_q, *self.t_mod_q, bq.q_col())
-        te_b = p.mulmod_shoup(e_bsk, *self.t_mod_bsk, bb.q_col())
-        # FastBconv(te_q, Q -> B_sk): first scale by qhat_inv.
-        qhat_inv = self._qhat_inv_consts()
-        y = p.mulmod_shoup(te_q, *qhat_inv, bq.q_col())
-        conv = self._fastbconv(y, self._conv_q_to_bsk_plain(), bb)
-        return p.mulmod_shoup(p.sub(te_b, conv, bb.q_col()), *self.inv_q_bsk, bb.q_col())
+        te_q = bq.mulmod_shoup(e_q, self.t_mod_q)
+        te_b = bb.mulmod_shoup(e_bsk, self.t_mod_bsk)
+        y = bq.mulmod_shoup(te_q, self.qhat_inv)
+        conv = _accum_reduce(y, self.conv_q_to_bsk_plain(), bb)
+        return bb.mulmod_shoup(bb.sub(te_b, conv), self.inv_q_bsk)
 
     @functools.cache
-    def _qhat_inv_consts(self):
-        qm = [m.value for m in self.ctx.moduli]
-        q = self.ctx.q
-        vals = [pow(q // qi, -1, qi) for qi in qm]
-        return (_u32s(vals)[:, None],
-                _u32s([_shoup32(v, qi) for v, qi in zip(vals, qm)])[:, None])
-
-    @functools.cache
-    def _conv_q_to_bsk_plain(self):
-        return _conv_matrix(self.base_q, [m.value for m in self.base_bsk.moduli])
+    def conv_q_to_bsk_plain(self):
+        return tuple(
+            tuple(row) for row in _conv_ints(self.ctx.moduli, self.base_bsk.moduli)
+        )
 
     def _sk_to_q(self, w_bsk):
         """Shenoy-Kumaresan exact conversion B_sk -> Q."""
-        p = mm.m31
         bq = self.base_q
         l = self.l
-        w_b = w_bsk[..., :l, :]
-        w_msk = w_bsk[..., l, :]
-        y = p.mulmod_shoup(
-            w_b, *self.bhat_inv,
-            self.base_bsk.q_col()[:l],
+        w_b = _tslice_limbs(w_bsk, slice(0, l))
+        w_msk = _tslice_limbs(w_bsk, slice(l, l + 1))
+        p = mm.m31 if bq.profile == "m31" else mm.m62
+        bhw, bhws = self._bhat_inv_const()
+        y = p.mulmod_shoup(w_b, bhw, bhws, self.b_only.q_col())
+        conv_q = _accum_reduce(y, self.conv_b_to_q, bq)
+        conv_msk = _accum_reduce(y, self.conv_b_to_msk, self.base_msk)
+        diff = self.base_msk.sub(conv_msk, w_msk)
+        alpha = self.base_msk.mulmod_shoup(diff, self.inv_M_msk)
+        # out = conv_q - alpha*M; where centered alpha is negative, + msk*M.
+        if bq.profile == "m31":
+            a_bc = jnp.broadcast_to(alpha, alpha.shape[:-2] + (bq.k, alpha.shape[-1]))
+            am = bq.mulmod_shoup(a_bc, self.M_mod_q)
+            out = bq.sub(conv_q, am)
+            corr_add = _u32s(self.mskM_mod_q_ints)[:, None]
+            corr = bq.add(out, jnp.broadcast_to(corr_add, out.shape))
+            high = alpha[..., 0:1, :] > jnp.uint32(self.msk_half)
+            return jnp.where(high, corr, out)
+        a_bc = _tmap(
+            lambda a: jnp.broadcast_to(a, a.shape[:-2] + (bq.k, a.shape[-1])), alpha
         )
-        conv_q = self._fastbconv(y, self.conv_b_to_q, self.base_q)
-        msk_mod = self.base_bsk.moduli[l]
-        msk_q = self.base_bsk.tables.q[l]
-        msk_mu = tuple(m[l] for m in self.base_bsk.tables.mu)
-        conv_msk = self._fastbconv(
-            y, self.conv_b_to_msk, None,
-            dst_q=msk_q, dst_mu=msk_mu,
-        )[..., 0, :]
-        diff = mm.m31.sub(conv_msk, w_msk, msk_q)
-        alpha = mm.m31.mulmod_shoup(diff, *self.inv_M_msk, msk_q)
-        # out = conv_q - alpha*M; where alpha represents a negative (centered
-        # alpha = alpha - m_sk), add back m_sk*M.
-        am = p.mulmod_shoup(alpha[..., None, :], *self.M_mod_q, bq.q_col())
-        out = p.sub(conv_q, am, bq.q_col())
-        corr = p.add(out, jnp.broadcast_to(self.mskM_mod_q, out.shape), bq.q_col())
-        high = (alpha > jnp.uint32(self.msk // 2))[..., None, :]
-        return jnp.where(high, corr, out)
+        am = bq.mulmod_shoup(a_bc, self.M_mod_q)
+        out = bq.sub(conv_q, am)
+        corr_c = _limb_split(self.mskM_mod_q_ints, 2)
+        corr = bq.add(out, _tmap(lambda c, o: jnp.broadcast_to(c, o.shape), corr_c, out))
+        half = (jnp.uint32(self.msk_half & _M32), jnp.uint32(self.msk_half >> 32))
+        high = mm.m62._geq(alpha, half) & ~(
+            (alpha[0] == jnp.uint32(self.msk_half & _M32))
+            & (alpha[1] == jnp.uint32(self.msk_half >> 32))
+        )
+        high = high[..., 0:1, :]
+        return _twhere(high, corr, out)
 
     # ------------------------------------------------------------------
 
@@ -283,7 +383,6 @@ class RnsMultiplier:
         assert ct1.size == 2 and ct2.size == 2
         assert ct1.domain == "coeff" and ct2.domain == "coeff"
         tq, tb = self.base_q.tables, self.base_bsk.tables
-        p = mm.m31
 
         def prep(poly):
             bsk = self._to_bsk(poly)
@@ -293,17 +392,14 @@ class RnsMultiplier:
         d0, d1 = (prep(x) for x in ct2.polys)
 
         es = []
-        for basis_i, tbx in ((0, tq), (1, tb)):
-            q_col = tbx.q[:, None]
+        for basis_i, (basis, tbx) in ((0, (self.base_q, tq)), (1, (self.base_bsk, tb))):
             a0, a1 = c0[basis_i], c1[basis_i]
             b0, b1 = d0[basis_i], d1[basis_i]
             e0 = ntt.pointwise_mul(a0, b0, tbx)
             e2 = ntt.pointwise_mul(a1, b1, tbx)
             # Karatsuba: e1 = (a0+a1)(b0+b1) - e0 - e2 (3 multiplies).
-            cross = ntt.pointwise_mul(
-                p.add(a0, a1, q_col), p.add(b0, b1, q_col), tbx
-            )
-            e1 = p.sub(p.sub(cross, e0, q_col), e2, q_col)
+            cross = ntt.pointwise_mul(basis.add(a0, a1), basis.add(b0, b1), tbx)
+            e1 = basis.sub(basis.sub(cross, e0), e2)
             es.append(tuple(ntt.inverse(e, tbx) for e in (e0, e1, e2)))
 
         out_polys = []
@@ -319,9 +415,11 @@ class RnsMultiplier:
 
 
 @dataclass
-class RelinKeys:
-    """RNS-gadget key-switching keys: rlk[i] = (b_i, a_i) in NTT domain,
-    b_i = -(a_i s + e_i) + g_i s^2 where g_i = 1 mod q_i, 0 mod q_j."""
+class KSwitchKeys:
+    """RNS-gadget key-switching keys toward a target secret T:
+    key[i] = (b_i, a_i) in NTT domain, b_i = -(a_i s + e_i) + g_i T,
+    g_i = 1 mod q_i, 0 mod q_j. T = s^2 gives relinearization keys; T =
+    s(X^g) gives Galois keys."""
 
     k0: Any  # [k, L, n] stacked b_i (with Shoup companions)
     k0_shoup: Any
@@ -329,70 +427,89 @@ class RelinKeys:
     k1_shoup: Any
 
 
-def create_relin_keys(ctx: BFVContext, sk, key) -> RelinKeys:
+RelinKeys = KSwitchKeys  # relin keys are key-switch keys for T = s^2
+
+
+def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key) -> KSwitchKeys:
     from . import sampling
-    from .keys import _shoup
+    from .keys import _shoup as sh
 
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     k = ctx.L
     k0_rows, k1_rows = [], []
-    s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
     for i in range(k):
         key, ka, ke = jax.random.split(key, 3)
         a = sampling.uniform_rq(ka, ctx)
         e_ntt = ntt.forward(sampling.cbd_poly(ke, ctx), ctx.tables)
         b = p.neg(p.add(p.mulmod_shoup(a, sk.s_ntt, sk.s_shoup, q2), e_ntt, q2), q2)
-        # add g_i * s^2: only limb i gets s^2.
+        # add g_i * T: only limb i gets the target secret.
         sel = jnp.zeros((k, 1), jnp.uint32).at[i, 0].set(1)
-        gs2 = jax.tree.map(lambda v: v * sel, s2)
-        b = p.add(b, gs2, q2)
+        gt = jax.tree.map(lambda v: v * sel, target_ntt)
+        b = p.add(b, gt, q2)
         k0_rows.append(b)
         k1_rows.append(a)
     stack = lambda rows: jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
-    k0 = stack(k0_rows)
-    k1 = stack(k1_rows)
-    from .keys import _shoup as sh
 
-    # Shoup companions per key row.
     def row_shoup(rows):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *[sh(ctx, r) for r in rows])
 
-    return RelinKeys(
-        k0=k0, k0_shoup=row_shoup(k0_rows), k1=k1, k1_shoup=row_shoup(k1_rows)
+    return KSwitchKeys(
+        k0=stack(k0_rows), k0_shoup=row_shoup(k0_rows),
+        k1=stack(k1_rows), k1_shoup=row_shoup(k1_rows),
     )
 
 
-def relinearize(ctx: BFVContext, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
-    """Size-3 -> size-2: key-switch c2 using the RNS gadget digits |c2|_{q_i}."""
-    assert ct.size == 3 and ct.domain == "coeff"
-    p = mm.m31 if ctx.tables.profile == "m31" else None
-    if p is None:
-        raise NotImplementedError("relinearize requires the m31 profile")
+def create_relin_keys(ctx: BFVContext, sk, key) -> KSwitchKeys:
+    p = ctx.prof
+    q2 = ctx.tables.q_b(1)
+    s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
+    return create_kswitch_keys(ctx, sk, s2, key)
+
+
+def keyswitch_contributions(ctx: BFVContext, poly, keys: KSwitchKeys):
+    """Sum_i NTT(lift(|poly|_{q_i})) * key[i] -> (d0, d1) in coeff domain."""
+    p = ctx.prof
     tb = ctx.tables
     q2 = tb.q_b(1)
-    mu2 = tuple(m[:, None] for m in tb.mu)
-    c0, c1, c2 = ct.polys
     k = ctx.L
-    # Digits: lift |c2|_{q_i} to the full basis, NTT once per digit.
     acc0 = acc1 = None
     for i in range(k):
-        digit = c2[..., i : i + 1, :]  # [..., 1, n]
-        lifted = p.reduce64(
-            jnp.broadcast_to(digit, c2.shape), jnp.zeros_like(c2), tb.q[:, None],
-            mu2[0], mu2[1],
-        )
+        digit = _tslice_limbs(poly, slice(i, i + 1))
+        # Lift |poly|_{q_i} into every limb (generic 64/128-bit reduction).
+        if tb.profile == "m31":
+            mu2 = tuple(m[:, None] for m in tb.mu)
+            lifted = p.reduce64(
+                jnp.broadcast_to(digit, poly.shape), jnp.zeros_like(poly),
+                tb.q[:, None], mu2[0], mu2[1],
+            )
+        else:
+            dig_b = _tmap(lambda a, full: jnp.broadcast_to(a, full.shape), digit, poly)
+            zero = jnp.zeros_like(dig_b[0])
+            ratio = tuple(m[:, None] for m in tb.mu)
+            lifted = p.reduce128(
+                (dig_b[0], dig_b[1], zero, zero),
+                _tmap(lambda a: a[:, None], tb.q), ratio,
+            )
         d_ntt = ntt.forward(lifted, tb)
         t0 = p.mulmod_shoup(
-            d_ntt, jax.tree.map(lambda a: a[i], rlk.k0),
-            jax.tree.map(lambda a: a[i], rlk.k0_shoup), q2,
+            d_ntt, jax.tree.map(lambda a: a[i], keys.k0),
+            jax.tree.map(lambda a: a[i], keys.k0_shoup), q2,
         )
         t1 = p.mulmod_shoup(
-            d_ntt, jax.tree.map(lambda a: a[i], rlk.k1),
-            jax.tree.map(lambda a: a[i], rlk.k1_shoup), q2,
+            d_ntt, jax.tree.map(lambda a: a[i], keys.k1),
+            jax.tree.map(lambda a: a[i], keys.k1_shoup), q2,
         )
         acc0 = t0 if acc0 is None else p.add(acc0, t0, q2)
         acc1 = t1 if acc1 is None else p.add(acc1, t1, q2)
-    new0 = p.add(c0, ntt.inverse(acc0, tb), q2)
-    new1 = p.add(c1, ntt.inverse(acc1, tb), q2)
-    return Ciphertext((new0, new1), "coeff")
+    return ntt.inverse(acc0, tb), ntt.inverse(acc1, tb)
+
+
+def relinearize(ctx: BFVContext, ct: Ciphertext, rlk: KSwitchKeys) -> Ciphertext:
+    """Size-3 -> size-2: key-switch c2 using the RNS gadget digits |c2|_{q_i}."""
+    assert ct.size == 3 and ct.domain == "coeff"
+    p = ctx.prof
+    q2 = ctx.tables.q_b(1)
+    c0, c1, c2 = ct.polys
+    d0, d1 = keyswitch_contributions(ctx, c2, rlk)
+    return Ciphertext((p.add(c0, d0, q2), p.add(c1, d1, q2)), "coeff")

@@ -21,6 +21,7 @@ import functools
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..bfv.ciphertext import Ciphertext
@@ -125,6 +126,94 @@ def ckks_add(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     return Ciphertext(
         tuple(p.add(x, y, q2) for x, y in zip(a.polys, b.polys)), "coeff"
     )
+
+
+def ckks_multiply(ctx: CKKSContext, a: Ciphertext, b: Ciphertext, rlk=None) -> Ciphertext:
+    """CKKS ct-ct multiply: plain NTT tensor product mod q (no t/q scaling —
+    the message scale squares; follow with ``ckks_rescale``). Relinearizes
+    when ``rlk`` (bfv.behz.KSwitchKeys) is given."""
+    base = ctx.base
+    p = base.prof
+    tb = base.tables
+    q2 = tb.q_b(1)
+    a0, a1 = (ntt.forward(x, tb) for x in a.polys)
+    b0, b1 = (ntt.forward(x, tb) for x in b.polys)
+    e0 = ntt.pointwise_mul(a0, b0, tb)
+    e2 = ntt.pointwise_mul(a1, b1, tb)
+    cross = ntt.pointwise_mul(p.add(a0, a1, q2), p.add(b0, b1, q2), tb)
+    e1 = p.sub(p.sub(cross, e0, q2), e2, q2)
+    polys = tuple(ntt.inverse(e, tb) for e in (e0, e1, e2))
+    ct3 = Ciphertext(polys, "coeff")
+    if rlk is None:
+        return ct3
+    from ..bfv.behz import relinearize
+
+    return relinearize(base, ct3, rlk)
+
+
+def ckks_rescale(
+    ctx: CKKSContext, ct: Ciphertext, current_scale: float | None = None
+) -> tuple["CKKSContext", Ciphertext]:
+    """Drop the last RNS prime: x -> round(x / q_last).
+
+    Standard RNS rescale: x'_i = (x_i - [x]_{q_last, centered}) * q_last^{-1}
+    mod q_i. Returns (smaller context with scale = current_scale / q_last,
+    rescaled ciphertext). ``current_scale`` defaults to ctx.scale**2 — the
+    post-multiply case this exists for. m31 chains only.
+    """
+    from ..ops.modmath import m31
+
+    base = ctx.base
+    tb = base.tables
+    if tb.profile != "m31":
+        raise NotImplementedError("ckks_rescale supports m31 chains")
+    L = base.L
+    assert L >= 2, "nothing left to rescale"
+    q_last = base.moduli[-1].value
+    new_base = BFVContext.build(
+        base.parms.with_coeff_modulus(base.parms.coeff_modulus[:-1]),
+        engine=tb.engine,
+    )
+    ntb = new_base.tables
+    q2n = ntb.q_b(1)
+    mu = tuple(m[:, None] for m in ntb.mu)
+    inv = [pow(q_last, -1, m.value) for m in new_base.moduli]
+    inv_w = jnp.asarray(np.asarray(inv, np.uint32))[:, None]
+    inv_ws = jnp.asarray(
+        np.asarray(
+            [(v << 32) // m.value for v, m in zip(inv, new_base.moduli)], np.uint32
+        )
+    )[:, None]
+    ql_res = jnp.asarray(
+        np.asarray([q_last % m.value for m in new_base.moduli], np.uint32)
+    )[:, None]
+
+    def one_poly(poly):
+        last = poly[..., L - 1, :]  # u32 [..., n], value in [0, q_last)
+        head = poly[..., : L - 1, :]
+        d = jnp.broadcast_to(last[..., None, :], head.shape)
+        d_red = m31.reduce64(d, jnp.zeros_like(d), ntb.q[:, None], mu[0], mu[1])
+        out = m31.sub(head, d_red, q2n)
+        # Centered digit: where last > q_last/2 the true digit is last-q_last,
+        # so add back q_last.
+        high = jnp.broadcast_to(
+            (last > jnp.uint32(q_last // 2))[..., None, :], head.shape
+        )
+        out = jnp.where(high, m31.add(out, jnp.broadcast_to(ql_res, out.shape), q2n), out)
+        return m31.mulmod_shoup(out, inv_w, inv_ws, q2n)
+
+    new_ct = Ciphertext(tuple(one_poly(p) for p in ct.polys), "coeff")
+    scale = ctx.scale * ctx.scale if current_scale is None else current_scale
+    return CKKSContext(base=new_base, scale=scale / q_last), new_ct
+
+
+def restrict_secret_key(ctx_small: CKKSContext, sk):
+    """Project a secret key onto a rescaled (fewer-limb) context."""
+    from ..bfv.keys import SecretKey, _shoup
+
+    L = ctx_small.base.L
+    s = jax.tree.map(lambda a: a[..., :L, :], sk.s_ntt)
+    return SecretKey(s_ntt=s, s_shoup=_shoup(ctx_small.base, s))
 
 
 def ckks_decrypt(ctx: CKKSContext, sk, ct: Ciphertext) -> np.ndarray:

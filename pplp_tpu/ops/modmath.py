@@ -204,6 +204,19 @@ class m31:
         return m31.csub(r, q)
 
     @staticmethod
+    def mulmod_shoup_lazy(x, w, w_shoup, q):
+        """Shoup product WITHOUT the final subtraction: result in [0, 2q).
+
+        Valid for any x < 2^32 (Harvey lazy butterflies feed x < 4q)."""
+        est = mulhi32(w_shoup, x)
+        return w * x - est * q
+
+    @staticmethod
+    def csub2q(x, two_q):
+        """Map [0, 4q) -> [0, 2q) (Harvey lazy normalization step)."""
+        return x - jnp.where(x >= two_q, two_q, 0).astype(jnp.uint32)
+
+    @staticmethod
     def reduce64(lo, hi, q, mu_lo, mu_hi):
         """Reduce a 64-bit value (lo, hi) mod q via Barrett.
 

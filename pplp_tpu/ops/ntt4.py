@@ -158,10 +158,12 @@ def build_tables4(moduli: Sequence[Modulus], n: int) -> FourStepTables:
 
 
 def _ntt_col_negacyclic(x, w1, w1s, q3, logc1):
-    """CT-DIT negacyclic NTT along axis -2; twiddles per group (Harvey)."""
+    """CT-DIT negacyclic NTT along axis -2, Harvey lazy form.
+
+    Inputs < 4q, outputs < 4q (one conditional per butterfly: u -> [0, 2q));
+    the caller canonicalizes at the end. Twiddles per group."""
     c1 = x.shape[-2]
     lanes = x.shape[-1]
-    g = x.shape[-3]
     h, t = 1, c1
     for _ in range(logc1):
         t //= 2
@@ -171,15 +173,17 @@ def _ntt_col_negacyclic(x, w1, w1s, q3, logc1):
         w = w1[:, h : 2 * h][:, :, None, None]
         ws = w1s[:, h : 2 * h][:, :, None, None]
         q = q3[..., None]
-        mv = m31.mulmod_shoup(v, w, ws, q)
-        x = jnp.stack([m31.add(u, mv, q), m31.sub(u, mv, q)], axis=-3)
+        u = m31.csub2q(u, q * 2)
+        mv = m31.mulmod_shoup_lazy(v, w, ws, q)  # < 2q
+        x = jnp.stack([u + mv, u - mv + q * 2], axis=-3)
         x = x.reshape(x.shape[:-4] + (c1, lanes))
         h *= 2
     return x
 
 
 def _intt_col_negacyclic(x, iw1, iw1s, q3, logc1):
-    """GS-DIF inverse along axis -2 (no final scale; folded into step B)."""
+    """GS-DIF inverse along axis -2, Harvey lazy (inputs/outputs < 2q;
+    no final scale — folded into step B)."""
     c1 = x.shape[-2]
     lanes = x.shape[-1]
     h, t = c1 // 2, 1
@@ -190,8 +194,8 @@ def _intt_col_negacyclic(x, iw1, iw1s, q3, logc1):
         w = iw1[:, h : 2 * h][:, :, None, None]
         ws = iw1s[:, h : 2 * h][:, :, None, None]
         q = q3[..., None]
-        s = m31.add(u, v, q)
-        d = m31.mulmod_shoup(m31.sub(u, v, q), w, ws, q)
+        s = m31.csub2q(u + v, q * 2)
+        d = m31.mulmod_shoup_lazy(u - v + q * 2, w, ws, q)
         x = jnp.stack([s, d], axis=-3).reshape(x.shape[:-2] + (c1, lanes))
         h //= 2
         t *= 2
@@ -199,7 +203,7 @@ def _intt_col_negacyclic(x, iw1, iw1s, q3, logc1):
 
 
 def _ntt_col_cyclic_gs(x, wc, wcs, q3):
-    """GS-DIF cyclic NTT along axis -2 (C2-point), twiddles vary in-block.
+    """GS-DIF cyclic NTT along axis -2, Harvey lazy (< 2q stable).
 
     Input natural order, output bit-reversed positions.
     """
@@ -213,15 +217,15 @@ def _ntt_col_cyclic_gs(x, wc, wcs, q3):
         w = wc[:, s, :t][:, None, :, None]
         ws = wcs[:, s, :t][:, None, :, None]
         q = q3[..., None]
-        a = m31.add(u, v, q)
-        b = m31.mulmod_shoup(m31.sub(u, v, q), w, ws, q)
+        a = m31.csub2q(u + v, q * 2)
+        b = m31.mulmod_shoup_lazy(u - v + q * 2, w, ws, q)
         x = jnp.stack([a, b], axis=-3).reshape(x.shape[:-2] + (C2, lanes))
         t //= 2
     return x
 
 
 def _intt_col_cyclic_ct(x, iwc, iwcs, q3):
-    """CT-DIT inverse cyclic along axis -2, consumes GS output order."""
+    """CT-DIT inverse cyclic along axis -2, Harvey lazy (< 4q tolerant)."""
     lanes = x.shape[-1]
     t = 1
     for s in range(_LOG_C2 - 1, -1, -1):
@@ -232,22 +236,26 @@ def _intt_col_cyclic_ct(x, iwc, iwcs, q3):
         w = iwc[:, s, :t][:, None, :, None]
         ws = iwcs[:, s, :t][:, None, :, None]
         q = q3[..., None]
-        mv = m31.mulmod_shoup(v, w, ws, q)
-        x = jnp.stack([m31.add(u, mv, q), m31.sub(u, mv, q)], axis=-3)
+        u = m31.csub2q(u, q * 2)
+        mv = m31.mulmod_shoup_lazy(v, w, ws, q)
+        x = jnp.stack([u + mv, u - mv + q * 2], axis=-3)
         x = x.reshape(x.shape[:-4] + (C2, lanes))
         t *= 2
     return x
 
 
 def fwd_core(x, w1, w1s, tw, tws, wc, wcs, q, logc1):
-    """[..., G, n] -> [..., G, n]; tables carry the leading G axis."""
+    """[..., G, n] -> [..., G, n]; tables carry the leading G axis.
+
+    Internally Harvey-lazy ([0,4q)/[0,2q) residues); canonical in and out."""
     c1 = x.shape[-1] // C2
     q3 = q.reshape(q.shape + (1, 1))
     x = x.reshape(x.shape[:-1] + (c1, C2))
-    x = _ntt_col_negacyclic(x, w1, w1s, q3, logc1)
-    x = m31.mulmod_shoup(x, tw, tws, q3)
+    x = _ntt_col_negacyclic(x, w1, w1s, q3, logc1)       # < 4q
+    x = m31.mulmod_shoup_lazy(x, tw, tws, q3)            # < 2q
     x = jnp.swapaxes(x, -1, -2)  # [.., C2, C1]
-    x = _ntt_col_cyclic_gs(x, wc, wcs, q3)
+    x = _ntt_col_cyclic_gs(x, wc, wcs, q3)               # < 2q
+    x = m31.csub(x, q3)
     return x.reshape(x.shape[:-2] + (c1 * C2,))
 
 
@@ -255,10 +263,11 @@ def inv_core(x, iw1, iw1s, itw, itws, iwc, iwcs, q, logc1):
     c1 = x.shape[-1] // C2
     q3 = q.reshape(q.shape + (1, 1))
     x = x.reshape(x.shape[:-1] + (C2, c1))
-    x = _intt_col_cyclic_ct(x, iwc, iwcs, q3)
+    x = _intt_col_cyclic_ct(x, iwc, iwcs, q3)            # < 4q
     x = jnp.swapaxes(x, -1, -2)  # [.., C1, C2]
-    x = m31.mulmod_shoup(x, itw, itws, q3)
-    x = _intt_col_negacyclic(x, iw1, iw1s, q3, logc1)
+    x = m31.mulmod_shoup_lazy(x, itw, itws, q3)          # < 2q
+    x = _intt_col_negacyclic(x, iw1, iw1s, q3, logc1)    # < 2q
+    x = m31.csub(x, q3)
     return x.reshape(x.shape[:-2] + (c1 * C2,))
 
 

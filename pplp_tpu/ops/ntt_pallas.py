@@ -142,25 +142,25 @@ def _roll(x, shift, axis):
 
 
 def _butterfly_ct(x, w, ws, hi, t, q, rows):
-    """CT-style: lo' = u + w*v, hi' = u - w*v; pairs (r, r+t) via rolls."""
+    """CT-style Harvey-lazy: in/out < 4q; pairs (r, r+t) via rolls."""
     down = _roll(x, rows - t, 1)  # x[r+t] at row r
     up = _roll(x, t, 1)           # x[r-t] at row r
     hi_b = hi != 0
-    u = jnp.where(hi_b, up, x)
+    u = m31.csub2q(jnp.where(hi_b, up, x), q * 2)
     v = jnp.where(hi_b, x, down)
-    mv = m31.mulmod_shoup(v, w, ws, q)
-    return jnp.where(hi_b, m31.sub(u, mv, q), m31.add(u, mv, q))
+    mv = m31.mulmod_shoup_lazy(v, w, ws, q)
+    return jnp.where(hi_b, u - mv + q * 2, u + mv)
 
 
 def _butterfly_gs(x, w, ws, hi, t, q, rows):
-    """GS-style: lo' = u + v, hi' = (u - v) * w."""
+    """GS-style Harvey-lazy: in/out < 2q."""
     down = _roll(x, rows - t, 1)
     up = _roll(x, t, 1)
     hi_b = hi != 0
     u = jnp.where(hi_b, up, x)
     v = jnp.where(hi_b, x, down)
-    s = m31.add(u, v, q)
-    d = m31.mulmod_shoup(m31.sub(u, v, q), w, ws, q)
+    s = m31.csub2q(u + v, q * 2)
+    d = m31.mulmod_shoup_lazy(u - v + q * 2, w, ws, q)
     return jnp.where(hi_b, d, s)
 
 
@@ -177,12 +177,12 @@ def _kernel(direction, c1, logc1, q_ref,
         for s in range(logc1):
             t = c1 >> (s + 1)
             x = _butterfly_ct(x, aw[0, s], aws[0, s], am[s], t, q, c1)
-        x = m31.mulmod_shoup(x, twm[0], twms[0], q)
+        x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         x = jnp.swapaxes(x, -1, -2)  # [TILE_B, C2, c1]
         for s in range(_LOG_C2):
             t = C2 >> (s + 1)
             x = _butterfly_gs(x, cw[0, s], cws[0, s], cm[s], t, q, C2)
-        o_ref[0] = x
+        o_ref[0] = m31.csub(x, q)
     else:
         x = x_ref[0]  # [TILE_B, C2, c1]
         tile_b = x.shape[0]
@@ -190,11 +190,11 @@ def _kernel(direction, c1, logc1, q_ref,
             t = 1 << s
             x = _butterfly_ct(x, cw[0, s], cws[0, s], cm[s], t, q, C2)
         x = jnp.swapaxes(x, -1, -2)  # [TILE_B, c1, C2]
-        x = m31.mulmod_shoup(x, twm[0], twms[0], q)
+        x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         for s in range(logc1):
             t = 1 << s
             x = _butterfly_gs(x, aw[0, s], aws[0, s], am[s], t, q, c1)
-        o_ref[0] = x.reshape(tile_b, c1 * C2)
+        o_ref[0] = m31.csub(x.reshape(tile_b, c1 * C2), q)
 
 
 def _interpret_default() -> bool:

@@ -112,3 +112,26 @@ def test_multiply_batched():
         one = jax.tree.map(lambda x: x[i], prod)
         got = dec.decrypt(one)
         assert int(got.to_string() or "0", 16) == (vals_a[i] * vals_b[i]) % T
+
+
+def test_multiply_m62_seal_profile_chain():
+    # ct-ct multiply + relinearization on a SEAL-style (44-bit prime) chain.
+    chain = get_primes(44, 3, N)
+    parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain)
+    ctx = BFVContext.build(parms)
+    assert ctx.tables.profile == "m62"
+    kg = KeyGenerator(ctx, 11)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    rlk = create_relin_keys(ctx, sk, jax.random.key(12))
+
+    rng = np.random.default_rng(13)
+    a = [int(v) for v in rng.integers(0, T, size=N)]
+    b = [int(v) for v in rng.integers(0, T, size=N)]
+    ca = enc.encrypt(Plaintext(a), jax.random.key(14))
+    cb = enc.encrypt(Plaintext(b), jax.random.key(15))
+    prod3 = mul.multiply(ca, cb)
+    assert dec.decrypt(prod3).coeffs[:N] == negacyclic(a, b, T)
+    prod2 = relinearize(ctx, prod3, rlk)
+    assert dec.decrypt(prod2).coeffs[:N] == negacyclic(a, b, T)
