@@ -14,10 +14,18 @@ at n=8192 over 3 RNS primes.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: repeated driver runs skip the multi-minute
+# remote compiles of the big fused graphs.
+os.makedirs("/tmp/pplp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/pplp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from pplp_tpu.ops import ntt
@@ -167,8 +175,19 @@ def bench_dgk(batch=10000, k=2048, t=320, l=16, iters=2):
 
 
 def main():
-    import os
-
+    # Headline FIRST so a time-capped run still reports it.
+    value = bench_multiply()
+    print(
+        json.dumps(
+            {
+                "metric": "bfv_ct_mult_relin_per_s_n4096",
+                "value": round(value, 1),
+                "unit": "mults/s",
+                "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 2),
+            }
+        ),
+        flush=True,
+    )
     if os.environ.get("PPLP_BENCH_DGK") == "1":
         rate = bench_dgk()
         print(
@@ -180,6 +199,7 @@ def main():
                 }
             ),
             file=sys.stderr,
+            flush=True,
         )
     ntt_rate = bench_ntt()
     print(
@@ -192,6 +212,7 @@ def main():
             }
         ),
         file=sys.stderr,
+        flush=True,
     )
     checks, secs = bench_proximity_pipeline()
     print(
@@ -205,17 +226,7 @@ def main():
             }
         ),
         file=sys.stderr,
-    )
-    value = bench_multiply()
-    print(
-        json.dumps(
-            {
-                "metric": "bfv_ct_mult_relin_per_s_n4096",
-                "value": round(value, 1),
-                "unit": "mults/s",
-                "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 2),
-            }
-        )
+        flush=True,
     )
 
 

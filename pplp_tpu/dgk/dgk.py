@@ -127,6 +127,39 @@ def dgk_gen_keys(
     return priv, pub
 
 
+def save_dgk_keys(priv: DGKPrivateKey | None, pub: DGKPublicKey) -> bytes:
+    """Stable JSON-hex key serialization (checkpoint format; the decrypt
+    table is rebuilt on load rather than persisted)."""
+    import json
+
+    data = {"pub": {k: format(getattr(pub, k), "x") if k != "t" else pub.t
+                    for k in ("n", "g", "h", "u", "t")}}
+    if priv is not None:
+        data["priv"] = {
+            k: format(getattr(priv, k), "x")
+            for k in ("n", "g", "u", "p", "q", "vp", "vq", "vpq")
+        }
+    return json.dumps(data).encode()
+
+
+def load_dgk_keys(blob: bytes, init_table: bool = True):
+    import json
+
+    data = json.loads(blob.decode())
+    pd = data["pub"]
+    pub = DGKPublicKey(
+        n=int(pd["n"], 16), g=int(pd["g"], 16), h=int(pd["h"], 16),
+        u=int(pd["u"], 16), t=int(pd["t"]),
+    )
+    priv = None
+    if "priv" in data:
+        sd = data["priv"]
+        priv = DGKPrivateKey(**{k: int(v, 16) for k, v in sd.items()})
+        if init_table:
+            priv.init_table()
+    return priv, pub
+
+
 def dgk_encrypt(pub: DGKPublicKey, m: int, r: int) -> int:
     """c = g^m * h^r mod n (dgk.cc:33-52)."""
     return pow(pub.g, m, pub.n) * pow(pub.h, r, pub.n) % pub.n

@@ -40,9 +40,18 @@ class Channel:
         self.bytes_sent += n
         return len(payload)
 
+    # Reject absurd frame claims before allocating (the reference trusts the
+    # peer's ASCII header unconditionally — util.h:58-63).
+    MAX_FRAME = 1 << 32
+
     def recv_frame(self) -> bytes:
         header = self._recv_exact(SIZE_BUFFER)
-        length = int(header.split(b"\x00", 1)[0])
+        digits = header.split(b"\x00", 1)[0]
+        if not digits.isdigit():
+            raise ConnectionError(f"malformed frame header {digits[:16]!r}")
+        length = int(digits)
+        if length > self.MAX_FRAME:
+            raise ConnectionError(f"frame length {length} exceeds cap")
         payload = self._recv_exact(length)
         self.bytes_received += SIZE_BUFFER + length
         return payload

@@ -110,3 +110,20 @@ def test_dgk_sweep_csv(tmp_path, keys):
     lines = f.read_text().strip().split("\n")
     assert lines[0].startswith("radius ,d_AkGen,d_ApreClac,")
     assert len(lines) == 3
+
+
+def test_dgk_key_serialization(keys):
+    from pplp_tpu.dgk.dgk import load_dgk_keys, save_dgk_keys
+
+    priv, pub = keys
+    blob = save_dgk_keys(priv, pub)
+    priv2, pub2 = load_dgk_keys(blob)
+    assert pub2 == pub
+    assert priv2.vpq == priv.vpq and priv2.p == priv.p
+    rng = random.Random(6)
+    m = 123
+    c = dgk_encrypt(pub2, m, dgk_random_num(2 * T, rng))
+    assert dgk_decrypt(priv2, c) == m
+    # Public-only form omits the secret.
+    _none, pub3 = load_dgk_keys(save_dgk_keys(None, pub))
+    assert _none is None and pub3 == pub

@@ -129,3 +129,23 @@ def test_cli_demo_smoke(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "near" in out and "Time measured" in out
+
+
+def test_malformed_frame_header_rejected():
+    import socket
+
+    a, b = socket.socketpair()
+    ch = Channel(b)
+    a.sendall(b"notanumber".ljust(128, b"\x00"))
+    with pytest.raises(ConnectionError, match="malformed frame header"):
+        ch.recv_frame()
+    a.close()
+    b.close()
+
+    a, b = socket.socketpair()
+    ch = Channel(b)
+    a.sendall(str(1 << 40).encode().ljust(128, b"\x00"))
+    with pytest.raises(ConnectionError, match="exceeds cap"):
+        ch.recv_frame()
+    a.close()
+    b.close()

@@ -1,6 +1,7 @@
 """Sharded pipeline tests on the 8-device virtual CPU mesh."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -100,3 +101,34 @@ def test_packed_pipeline_100_checks():
     for j in range(total):
         d2 = (int(xa[j]) - xb) ** 2 + (int(ya[j]) - yb) ** 2
         assert int(bd[j]) == (s_blind * (d2 + r_blind)) % T
+
+
+def test_sharded_ct_multiply_matches_single_device():
+    # BEHZ multiply under the dp x limb mesh: bit-exact vs single device.
+    from pplp_tpu.bfv.behz import RnsMultiplier
+    from pplp_tpu.bfv.ciphertext import Ciphertext
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ctx = make_ctx()
+    mul = RnsMultiplier(ctx)
+    rng = np.random.default_rng(31)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def poly():
+        v = rng.integers(0, 1 << 62, size=(4, ctx.L, N)).astype(np.uint64) % qs
+        return jnp.asarray(v.astype(np.uint32))
+
+    import jax.numpy as jnp_  # noqa: F401
+
+    ct1 = Ciphertext((poly(), poly()), "coeff")
+    ct2 = Ciphertext((poly(), poly()), "coeff")
+    ref = jax.jit(mul.multiply)(ct1, ct2)
+
+    mesh = make_mesh(jax.devices(), dp=2, limb=4, coeff=1)
+    sh = NamedSharding(mesh, P("dp", "limb", None))
+    put = lambda ct: Ciphertext(
+        tuple(jax.device_put(p, sh) for p in ct.polys), "coeff"
+    )
+    got = jax.jit(mul.multiply)(put(ct1), put(ct2))
+    for a, b in zip(jax.tree.leaves(ref.polys), jax.tree.leaves(got.polys)):
+        assert (np.asarray(a) == np.asarray(b)).all()
