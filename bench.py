@@ -20,12 +20,6 @@ import time
 
 import jax
 
-# Persistent compilation cache: repeated driver runs skip the multi-minute
-# remote compiles of the big fused graphs.
-os.makedirs("/tmp/pplp_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/pplp_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
 import jax.numpy as jnp
 
 from pplp_tpu.ops import ntt
@@ -61,7 +55,7 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
     return transforms / best
 
 
-def bench_multiply(n=4096, batch=256, iters=5):
+def bench_multiply(n=4096, batch=128, iters=5):
     """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
     import numpy as np
 

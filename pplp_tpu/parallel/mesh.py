@@ -16,15 +16,15 @@ __all__ = ["make_mesh", "ct_spec", "ct_sharding", "factor_devices"]
 
 
 def factor_devices(n: int) -> tuple[int, int, int]:
-    """Split n devices into (dp, limb, coeff), favoring dp then limb."""
+    """Split n devices into (dp, limb, coeff): 2-way dp and limb when
+    available, remaining factor to the coefficient axis (so >=8 devices
+    exercise all three parallelism kinds)."""
     dp = 1
-    while n % 2 == 0 and dp < 4:
-        dp *= 2
-        n //= 2
+    if n % 2 == 0:
+        dp, n = 2, n // 2
     limb = 1
-    while n % 2 == 0 and limb < 4:
-        limb *= 2
-        n //= 2
+    if n % 2 == 0:
+        limb, n = 2, n // 2
     return dp, limb, n
 
 
