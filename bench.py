@@ -169,6 +169,20 @@ def bench_dgk(batch=10000, k=2048, t=320, l=16, iters=2):
 
 
 def main():
+    # Total wall budget: the driver runs this at round end; never exceed it.
+    budget_s = float(os.environ.get("PPLP_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
+
+    def over_budget(label):
+        if time.perf_counter() - t_start > budget_s:
+            print(
+                json.dumps({"skipped": label, "reason": "bench time budget"}),
+                file=sys.stderr,
+                flush=True,
+            )
+            return True
+        return False
+
     # Headline FIRST so a time-capped run still reports it.
     value = bench_multiply()
     print(
@@ -182,7 +196,7 @@ def main():
         ),
         flush=True,
     )
-    if os.environ.get("PPLP_BENCH_DGK") == "1":
+    if os.environ.get("PPLP_BENCH_DGK") == "1" and not over_budget("dgk"):
         rate = bench_dgk()
         print(
             json.dumps(
@@ -195,6 +209,8 @@ def main():
             file=sys.stderr,
             flush=True,
         )
+    if over_budget("ntt"):
+        return
     ntt_rate = bench_ntt()
     print(
         json.dumps(
@@ -208,6 +224,8 @@ def main():
         file=sys.stderr,
         flush=True,
     )
+    if over_budget("proximity_pipeline"):
+        return
     checks, secs = bench_proximity_pipeline()
     print(
         json.dumps(

@@ -61,6 +61,8 @@ class NttTables:
       * "stage"       — whole-array butterfly sweeps (XLA, any profile)
       * "four"        — four-step decomposition (jnp, m31 only)
       * "four-pallas" — four-step fused into one VMEM-resident Pallas kernel
+      * "vmem"        — transpose-free fused Pallas kernel (step A along
+                        sublanes, step C along lanes; fastest on real TPU)
     """
 
     n: int
@@ -200,6 +202,10 @@ def forward(x, tb: NttTables):
         from . import ntt_pallas
 
         return ntt_pallas.forward4_pallas(x, tb.four_step)
+    if tb.engine == "vmem":
+        from . import ntt_vmem
+
+        return ntt_vmem.forward_vmem(x, tb.four_step)
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)
@@ -227,6 +233,10 @@ def inverse(x, tb: NttTables):
         from . import ntt_pallas
 
         return ntt_pallas.inverse4_pallas(x, tb.four_step)
+    if tb.engine == "vmem":
+        from . import ntt_vmem
+
+        return ntt_vmem.inverse_vmem(x, tb.four_step)
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)
