@@ -131,7 +131,9 @@ def ckks_add(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 def ckks_multiply(ctx: CKKSContext, a: Ciphertext, b: Ciphertext, rlk=None) -> Ciphertext:
     """CKKS ct-ct multiply: plain NTT tensor product mod q (no t/q scaling —
     the message scale squares; follow with ``ckks_rescale``). Relinearizes
-    when ``rlk`` (bfv.behz.KSwitchKeys) is given."""
+    when ``rlk`` is given: either bfv.behz.KSwitchKeys (RNS gadget; noise
+    ~q_i·B caps precision) or bfv.keyswitch.SPKeys (special prime; noise ~B —
+    use this for multiplicative pipelines)."""
     base = ctx.base
     p = base.prof
     tb = base.tables
@@ -146,6 +148,10 @@ def ckks_multiply(ctx: CKKSContext, a: Ciphertext, b: Ciphertext, rlk=None) -> C
     ct3 = Ciphertext(polys, "coeff")
     if rlk is None:
         return ct3
+    from ..bfv.keyswitch import SPKeys, sp_relinearize
+
+    if isinstance(rlk, SPKeys):
+        return sp_relinearize(base, ct3, rlk)
     from ..bfv.behz import relinearize
 
     return relinearize(base, ct3, rlk)

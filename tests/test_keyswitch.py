@@ -1,0 +1,93 @@
+"""Special-prime (GHS) key switching: BFV relinearization oracle + CKKS
+multiply precision (SP noise ~B beats the RNS-gadget's ~q_i·B)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pplp_tpu.bfv import (
+    BFVContext,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    KeyGenerator,
+    Plaintext,
+)
+from pplp_tpu.bfv.behz import RnsMultiplier
+from pplp_tpu.bfv.keyswitch import create_sp_relin_keys, sp_relinearize
+from pplp_tpu.ops.primes import get_primes
+
+N = 256
+T = 1 << 16
+
+
+def setup(seed=1):
+    chain = get_primes(28, 2, N) + get_primes(27, 2, N)
+    parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain)
+    ctx = BFVContext.build(parms)
+    kg = KeyGenerator(ctx, seed)
+    return ctx, kg.secret_key(), kg.create_public_key(), kg
+
+
+def test_sp_relinearize_scalar():
+    ctx, sk, pk, kg = setup()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    spk = create_sp_relin_keys(ctx, kg, jax.random.key(9))
+    c1 = enc.encrypt(Plaintext(format(4321, "X")), jax.random.key(1))
+    c2 = enc.encrypt(Plaintext(format(555, "X")), jax.random.key(2))
+    ct = sp_relinearize(ctx, mul.multiply(c1, c2), spk)
+    assert ct.size == 2
+    got = dec.decrypt(ct)
+    assert int(got.to_string() or "0", 16) == (4321 * 555) % T
+
+
+def test_sp_relinearize_chain():
+    """Two chained multiplies survive with SP relin on this 110-bit chain."""
+    ctx, sk, pk, kg = setup(3)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    spk = create_sp_relin_keys(ctx, kg, jax.random.key(10))
+    vals = [3, 5, 7]
+    cts = [
+        enc.encrypt(Plaintext(format(v, "X")), jax.random.key(20 + i))
+        for i, v in enumerate(vals)
+    ]
+    acc = sp_relinearize(ctx, mul.multiply(cts[0], cts[1]), spk)
+    acc = sp_relinearize(ctx, mul.multiply(acc, cts[2]), spk)
+    got = dec.decrypt(acc)
+    assert int(got.to_string() or "0", 16) == (3 * 5 * 7) % T
+
+
+def test_ckks_multiply_sp_precision():
+    """CKKS multiply with SP relin + rescale: tighter than the gadget path."""
+    from pplp_tpu.ckks.ckks import (
+        CKKSContext,
+        CKKSEncoder,
+        ckks_decrypt,
+        ckks_encrypt,
+        ckks_multiply,
+        ckks_rescale,
+        restrict_secret_key,
+    )
+
+    chain = get_primes(28, 4, N)
+    ctx = CKKSContext.build(n=N, scale=float(1 << 26), coeff_modulus=chain)
+    enc = CKKSEncoder(ctx)
+    kg = KeyGenerator(ctx.base, 2)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    spk = create_sp_relin_keys(ctx.base, kg, jax.random.key(3))
+
+    a = np.array([1.5, -2.0, 3.25, 0.5])
+    b = np.array([2.0, 4.0, -1.0, 8.0])
+    ca = ckks_encrypt(ctx, pk, enc.coeffs_to_rns(enc.encode(a)), jax.random.key(4))
+    cb = ckks_encrypt(ctx, pk, enc.coeffs_to_rns(enc.encode(b)), jax.random.key(5))
+
+    prod = ckks_multiply(ctx, ca, cb, rlk=spk)
+    ctx2, prod2 = ckks_rescale(ctx, prod)
+    sk2 = restrict_secret_key(ctx2, sk)
+    enc2 = CKKSEncoder(ctx2)
+    got = enc2.decode(ckks_decrypt(ctx2, sk2, prod2).astype(np.float64))
+    err = np.max(np.abs(np.real(got[:4]) - a * b))
+    # The gadget path passes at 2e-2 on this chain; SP must be far tighter.
+    assert err < 1e-4
