@@ -17,7 +17,7 @@ import numpy as np
 from .dgk import DGKPrivateKey, DGKPublicKey
 from .modexp import MontgomeryCtx, exp_to_bits, from_digits, to_digits
 
-__all__ = ["DGKBatch"]
+__all__ = ["DGKBatch", "DGKDeviceTable"]
 
 
 @dataclass(frozen=True, eq=False)
@@ -54,6 +54,21 @@ class DGKBatch:
             out.append(priv.rtab[v])
         return out
 
+    def build_device_table(self, priv: DGKPrivateKey) -> "DGKDeviceTable":
+        """Precompute the on-device decrypt table (once per private key)."""
+        return DGKDeviceTable.build(priv, self.mc.D)
+
+    def decrypt_batch_device(self, priv: DGKPrivateKey, dtab: "DGKDeviceTable",
+                             cts):
+        """Fully device-resident decrypt: c^vpq, 64-bit fingerprint, probed
+        lookup in the device hash table -> [B] u32 messages.
+
+        Replaces the reference's per-ciphertext linear table scan
+        (dgk.cc:62-74) with one jitted program; the host hash-map path
+        (``decrypt_batch``) remains as the oracle."""
+        cv = self.mc.powmod_shared_exp(cts, priv.vpq)
+        return dtab.lookup(cv)
+
     # -- the comparison/proximity pipeline ------------------------------
 
     def blind_distance_batch(self, c1, c2, c3, xb: int, yb: int,
@@ -66,3 +81,96 @@ class DGKBatch:
         acc = mc.mulmod(mc.mulmod(c1, t2), t3)
         acc = mc.powmod_shared_exp(acc, s_blind)
         return mc.mulmod(mc.mulmod(acc, cz), cr)
+
+
+# -- device decrypt table ------------------------------------------------
+
+_FP_A1 = np.uint32(0x9E3779B1)   # golden-ratio odd multipliers
+_FP_A2 = np.uint32(0x85EBCA77)
+_PROBE_MAX = 32
+
+
+def _fp_host(digits16: np.ndarray, mult: np.uint32) -> np.ndarray:
+    """Horner fold of little-endian u16 digits -> u32 fingerprints. [E, D2]"""
+    acc = np.zeros(digits16.shape[0], np.uint32)
+    for i in range(digits16.shape[1] - 1, -1, -1):
+        acc = acc * mult + digits16[:, i].astype(np.uint32)
+    return acc
+
+
+def _fp_device(digs, mult):
+    """Same fold on device over [B, D] u32 16-bit-digit arrays."""
+    acc = jnp.zeros(digs.shape[:-1], jnp.uint32)
+    m = jnp.uint32(mult)
+    for i in range(digs.shape[-1] - 1, -1, -1):
+        acc = acc * m + digs[..., i]
+    return acc
+
+
+@dataclass(frozen=True, eq=False)
+class DGKDeviceTable:
+    """Open-addressed (linear probe) fingerprint table of {g^(vpq·m) : m < u}.
+
+    Entries are 64-bit fingerprints (two independent u32 Horner folds of the
+    2048-bit value's 16-bit digits); a lookup gathers ``probes`` slots and
+    selects the first two-sided match. False-match probability ~ u·2^-64."""
+
+    size: int
+    probes: int
+    fp1: jnp.ndarray   # [S] u32
+    fp2: jnp.ndarray   # [S] u32
+    msg: jnp.ndarray   # [S] u32 (0xFFFFFFFF = empty)
+
+    MISS = np.uint32(0xFFFFFFFF)
+
+    @staticmethod
+    def build(priv: DGKPrivateKey, D: int) -> "DGKDeviceTable":
+        if priv.rtab is None:
+            priv.init_table()
+        u = len(priv.rtab)
+        size = 1 << max(4, (u * 4 - 1).bit_length())  # load factor <= 0.25
+        nbytes = D * 2
+        vals = np.frombuffer(
+            b"".join(int(v).to_bytes(nbytes, "little") for v in priv.rtab),
+            dtype="<u2",
+        ).reshape(u, D).astype(np.uint16)
+        fp1 = _fp_host(vals, _FP_A1)
+        fp2 = _fp_host(vals, _FP_A2)
+        pairs = set(zip(fp1.tolist(), fp2.tolist()))
+        if len(pairs) != u:  # pragma: no cover - probability ~2^-33
+            raise RuntimeError("fingerprint collision in DGK table; rebuild")
+        msgs = np.fromiter(priv.rtab.values(), np.uint32, count=u)
+        t_fp1 = np.zeros(size, np.uint32)
+        t_fp2 = np.zeros(size, np.uint32)
+        t_msg = np.full(size, DGKDeviceTable.MISS, np.uint32)
+        mask = size - 1
+        probes = 1
+        for f1, f2, m in zip(fp1, fp2, msgs):
+            idx = int(f1) & mask
+            steps = 1
+            while t_msg[idx] != DGKDeviceTable.MISS:
+                idx = (idx + 1) & mask
+                steps += 1
+            if steps > _PROBE_MAX:  # pragma: no cover
+                raise RuntimeError("probe chain too long; grow the table")
+            probes = max(probes, steps)
+            t_fp1[idx], t_fp2[idx], t_msg[idx] = f1, f2, m
+        return DGKDeviceTable(
+            size=size, probes=probes,
+            fp1=jnp.asarray(t_fp1), fp2=jnp.asarray(t_fp2),
+            msg=jnp.asarray(t_msg),
+        )
+
+    def lookup(self, digs):
+        """[B, D] digit arrays -> [B] u32 messages (MISS when absent)."""
+        f1 = _fp_device(digs, _FP_A1)
+        f2 = _fp_device(digs, _FP_A2)
+        mask = jnp.uint32(self.size - 1)
+        idx = f1 & mask
+        out = jnp.full(f1.shape, DGKDeviceTable.MISS, jnp.uint32)
+        for _ in range(self.probes):
+            hit = (self.fp1[idx] == f1) & (self.fp2[idx] == f2)
+            out = jnp.where(hit & (out == DGKDeviceTable.MISS),
+                            self.msg[idx], out)
+            idx = (idx + jnp.uint32(1)) & mask
+        return out

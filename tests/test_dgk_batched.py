@@ -74,3 +74,24 @@ def test_batched_blind_distance_pipeline(keys):
     for j in range(B):
         d2 = (xa[j] - xb) ** 2 + (ya[j] - yb) ** 2
         assert got[j] == (s_blind * (d2 + r_blind)) % u
+
+
+def test_device_decrypt_table():
+    """Device fingerprint-table decrypt matches the host hash-map path."""
+    import jax
+    from pplp_tpu.dgk import dgk_gen_keys
+    from pplp_tpu.dgk.batched import DGKBatch, DGKDeviceTable
+    from pplp_tpu.dgk.dgk import dgk_random_num
+    import random
+
+    priv, pub = dgk_gen_keys(K, T, 8, seed=11)
+    db = DGKBatch.build(pub)
+    dtab = db.build_device_table(priv)
+    rng = random.Random(1)
+    ms = [rng.randrange(0, pub.u) for _ in range(64)]
+    rs = [dgk_random_num(2 * 160, rng) for _ in range(64)]
+    cts = db.encrypt_batch(ms, rs)
+    host = db.decrypt_batch(priv, cts)
+    dev = [int(v) for v in jax.device_get(db.decrypt_batch_device(priv, dtab, cts))]
+    assert host == ms
+    assert dev == ms
