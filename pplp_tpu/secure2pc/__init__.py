@@ -6,11 +6,18 @@ both arithmetic-sharing and boolean-boundary variants — together with the
 clear-computation verification oracle the reference prints
 ("Circuit Result" vs "Local Verify Result", circ_y/pplp.cpp:97-101).
 
-Scope (SURVEY.md §7.8): the predicate circuits and additive secret sharing
-with Beaver-triple multiplication are real and batched on device; the
-garbled-circuit/OT transport of ABY is modeled by evaluating comparison gates
-at the share-reconstruction boundary (the A2Y conversion point), not by a
-garbling stack.
+Two execution models:
+
+* In-process batched simulation (``sharing``/``circuits``): shares are device
+  arrays, gates vectorize on TPU lanes, the dealer is trusted — the fast path
+  for batched predicate evaluation.
+* Two real parties over TCP (``ot``/``networked``): Chou–Orlandi base OT +
+  IKNP extension + Gilboa Beaver triples (the protocol stack the reference
+  gets from the ABY library), interactive Beaver openings per multiply.
+
+In both, comparison gates evaluate at the share-reconstruction boundary (the
+A2Y conversion point) — the opened value is the blinded orient/distance, as
+in the reference's A2Y designs.
 """
 
 from .sharing import ArithShare, BeaverDealer, share, reconstruct
@@ -20,6 +27,12 @@ from .circuits import (
     polygon_predicate_2pc,
     polygon_predicate_clear,
     polygon_edge_coeffs,
+)
+from .ot import SchnorrGroup, ot_triples
+from .networked import (
+    PartyArith,
+    circle_predicate_2pc_networked,
+    polygon_predicate_2pc_networked,
 )
 
 __all__ = [
@@ -32,4 +45,9 @@ __all__ = [
     "polygon_predicate_2pc",
     "polygon_predicate_clear",
     "polygon_edge_coeffs",
+    "SchnorrGroup",
+    "ot_triples",
+    "PartyArith",
+    "circle_predicate_2pc_networked",
+    "polygon_predicate_2pc_networked",
 ]

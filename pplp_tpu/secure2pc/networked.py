@@ -1,0 +1,188 @@
+"""Two-real-party secure computation over TCP: each party holds ONLY its own
+additive share; multiplication consumes OT-generated Beaver triples with
+interactive openings. This is the networked counterpart of ``sharing``'s
+in-process simulation, completing ABY-parity for the pplp predicates
+(reference drives ABY with two processes: src/aby/*/mytest.cpp roles).
+
+Wire format: frames of little-endian u32 arrays over ``protocol.transport``.
+Linear gates are local; each ``mul`` costs one round (both parties exchange
+the (d, e) opening shares)."""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import ot
+
+__all__ = [
+    "PartyArith",
+    "circle_predicate_2pc_networked",
+    "polygon_predicate_2pc_networked",
+]
+
+_U32 = np.uint32
+
+
+def _send_u32(ch, arr: np.ndarray):
+    ch.send_frame(np.ascontiguousarray(arr, _U32).tobytes())
+
+
+def _recv_u32(ch) -> np.ndarray:
+    return np.frombuffer(ch.recv_frame(), _U32).copy()
+
+
+@dataclass
+class PartyArith:
+    """One party's arithmetic-sharing engine over Z_{2^32}.
+
+    ``triples`` is this party's (a, b, c) share pool from ``ot.ot_triples``
+    (flat arrays, consumed in order)."""
+
+    ch: object
+    role: int
+    triples: tuple[np.ndarray, np.ndarray, np.ndarray]
+    _used: int = field(default=0)
+
+    @staticmethod
+    def setup(ch, role: int, n_triples: int, group: ot.SchnorrGroup | None = None,
+              seed: int = 0) -> "PartyArith":
+        """Generate the triple pool via the OT stack (both parties call this
+        with the same n_triples)."""
+        group = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
+        rng = random.Random((seed << 1) | role)
+        trip = ot.ot_triples(ch, role, n_triples, group, rng)
+        return PartyArith(ch=ch, role=role, triples=trip)
+
+    # -- inputs ----------------------------------------------------------
+
+    def share_input(self, x=None, rng: random.Random | None = None) -> np.ndarray:
+        """Share an input owned by whoever passes ``x`` (the other party
+        passes None). Owner keeps r, sends x - r."""
+        if x is not None:
+            x = np.asarray(x, _U32)
+            rng = rng or random.Random()
+            r = np.array([rng.getrandbits(32) for _ in x], _U32)
+            _send_u32(self.ch, (x - r).astype(_U32))
+            return r
+        return _recv_u32(self.ch)
+
+    def share_public(self, x) -> np.ndarray:
+        """A public constant: role 0 holds it, role 1 holds zero."""
+        x = np.asarray(x, _U32)
+        return x if self.role == 0 else np.zeros_like(x)
+
+    # -- gates -----------------------------------------------------------
+
+    def _next_triple(self, n: int):
+        a, b, c = self.triples
+        i = self._used
+        if i + n > len(a):
+            raise RuntimeError("triple pool exhausted")
+        self._used = i + n
+        return a[i : i + n], b[i : i + n], c[i : i + n]
+
+    def mul(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Beaver multiply: one simultaneous exchange of (d, e) shares."""
+        a, b, c = self._next_triple(len(x))
+        d_sh = (x - a).astype(_U32)
+        e_sh = (y - b).astype(_U32)
+        _send_u32(self.ch, np.concatenate([d_sh, e_sh]))
+        other = _recv_u32(self.ch)
+        d = (d_sh + other[: len(x)]).astype(_U32)
+        e = (e_sh + other[len(x) :]).astype(_U32)
+        z = (c + d * b + e * a).astype(_U32)
+        if self.role == 0:
+            z = (z + d * e).astype(_U32)
+        return z
+
+    def open(self, x: np.ndarray) -> np.ndarray:
+        _send_u32(self.ch, x)
+        return (x + _recv_u32(self.ch)).astype(_U32)
+
+
+# ---------------------------------------------------------------------------
+# Networked pplp predicates (the ABY mytest.cpp counterparts)
+# ---------------------------------------------------------------------------
+
+
+def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
+                                   group: ot.SchnorrGroup | None = None,
+                                   seed: int = 0) -> np.ndarray:
+    """Circle test between two real parties: role 0 = client point(s),
+    role 1 = server point(s); thr public. Returns bool[B]: True = CLOSE.
+
+    Mirrors src/aby/circ_ay/pplp.cpp:112-137 (the correct arith+Yao variant):
+    d2 in arithmetic sharing, opened at the A2Y boundary, GT local."""
+    my_x = np.atleast_1d(np.asarray(my_x)).astype(np.int64)
+    my_y = np.atleast_1d(np.asarray(my_y)).astype(np.int64)
+    B = len(my_x)
+    party = PartyArith.setup(ch, role, n_triples=6 * B, group=group, seed=seed)
+    rng = random.Random(1000 + role + (seed << 2))
+    if role == 0:
+        sx0 = party.share_input(my_x, rng)
+        sy0 = party.share_input(my_y, rng)
+        sx1 = party.share_input()
+        sy1 = party.share_input()
+    else:
+        sx0 = party.share_input()
+        sy0 = party.share_input()
+        sx1 = party.share_input(my_x, rng)
+        sy1 = party.share_input(my_y, rng)
+    x00 = party.mul(sx0, sx0)
+    x11 = party.mul(sx1, sx1)
+    x01 = party.mul(sx0, sx1)
+    y00 = party.mul(sy0, sy0)
+    y11 = party.mul(sy1, sy1)
+    y01 = party.mul(sy0, sy1)
+    d2 = (x00 + x11 - x01 - x01 + y00 + y11 - y01 - y01).astype(_U32)
+    dist = party.open(d2)
+    return np.asarray(thr_sq, np.uint32) > dist
+
+
+def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
+                                    group: ot.SchnorrGroup | None = None,
+                                    seed: int = 0) -> np.ndarray:
+    """Point-in-convex-polygon between two real parties.
+
+    role 1 (server) passes ``edges`` = (x, y, z) coefficient arrays
+    (see circuits.polygon_edge_coeffs); role 0 (client) passes
+    ``point`` = (xp, yp) arrays [B]. Returns bool[B]: True = CLOSE.
+
+    Mirrors src/aby/poly_ay/pplp.cpp:115-141 (per-edge orient tests,
+    unsigned-GT sign probe, OR-fold)."""
+    if role == 0:
+        xp, yp = (np.atleast_1d(np.asarray(v)).astype(np.int64) for v in point)
+        B = len(xp)
+        _send_u32(ch, np.array([B], _U32))
+        n_edges = int(_recv_u32(ch)[0])
+    else:
+        x, y, z = (np.asarray(v, np.int64) for v in edges)
+        n_edges = len(x)
+        B = int(_recv_u32(ch)[0])
+        _send_u32(ch, np.array([n_edges], _U32))
+    party = PartyArith.setup(ch, role, n_triples=2 * n_edges * B,
+                             group=group, seed=seed)
+    rng = random.Random(2000 + role + (seed << 2))
+    if role == 0:
+        sxp = party.share_input(xp, rng)
+        syp = party.share_input(yp, rng)
+    else:
+        sxp = party.share_input()
+        syp = party.share_input()
+    far = np.zeros(B, bool)
+    for i in range(n_edges):
+        if role == 1:
+            s_xi = party.share_input(np.full(B, x[i] & 0xFFFFFFFF), rng)
+            s_yi = party.share_input(np.full(B, y[i] & 0xFFFFFFFF), rng)
+            s_zi = party.share_input(np.full(B, z[i] & 0xFFFFFFFF), rng)
+        else:
+            s_xi = party.share_input()
+            s_yi = party.share_input()
+            s_zi = party.share_input()
+        orient = (party.mul(s_xi, sxp) + party.mul(s_yi, syp) + s_zi).astype(_U32)
+        neg = party.open(orient) > np.uint32(0x7FFFFFFF)
+        far |= neg
+    return ~far
