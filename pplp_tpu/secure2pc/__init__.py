@@ -15,9 +15,10 @@ Two execution models:
   IKNP extension + Gilboa Beaver triples (the protocol stack the reference
   gets from the ABY library), interactive Beaver openings per multiply.
 
-In both, comparison gates evaluate at the share-reconstruction boundary (the
-A2Y conversion point) — the opened value is the blinded orient/distance, as
-in the reference's A2Y designs.
+The A2Y comparison runs either by opening the blinded value (fast, leaks the
+blinded distance like an opened A2Y) or fully garbled (``yao.py``: free-XOR +
+point-and-permute garbled circuits, evaluator labels by OT — no party sees
+the distance, exactly ABY's Yao sharing).
 """
 
 from .sharing import ArithShare, BeaverDealer, share, reconstruct

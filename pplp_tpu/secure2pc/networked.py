@@ -110,12 +110,15 @@ class PartyArith:
 
 def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
                                    group: ot.SchnorrGroup | None = None,
-                                   seed: int = 0) -> np.ndarray:
+                                   seed: int = 0,
+                                   compare: str = "open") -> np.ndarray:
     """Circle test between two real parties: role 0 = client point(s),
     role 1 = server point(s); thr public. Returns bool[B]: True = CLOSE.
 
     Mirrors src/aby/circ_ay/pplp.cpp:112-137 (the correct arith+Yao variant):
-    d2 in arithmetic sharing, opened at the A2Y boundary, GT local."""
+    d2 in arithmetic sharing; the A2Y comparison runs either by opening the
+    blinded distance (``compare="open"``) or inside a garbled circuit
+    (``compare="yao"`` — no party sees d2, matching ABY exactly)."""
     my_x = np.atleast_1d(np.asarray(my_x)).astype(np.int64)
     my_y = np.atleast_1d(np.asarray(my_y)).astype(np.int64)
     B = len(my_x)
@@ -138,13 +141,22 @@ def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
     y11 = party.mul(sy1, sy1)
     y01 = party.mul(sy0, sy1)
     d2 = (x00 + x11 - x01 - x01 + y00 + y11 - y01 - y01).astype(_U32)
+    if compare == "yao":
+        from . import yao
+
+        grp = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
+        yrng = random.Random(3000 + role + (seed << 2))
+        if role == 0:
+            return yao.yao_lt_evaluator(ch, d2, grp, yrng)
+        return yao.yao_lt_garbler(ch, d2, int(thr_sq), grp, yrng)
     dist = party.open(d2)
     return np.asarray(thr_sq, np.uint32) > dist
 
 
 def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
                                     group: ot.SchnorrGroup | None = None,
-                                    seed: int = 0) -> np.ndarray:
+                                    seed: int = 0,
+                                    compare: str = "open") -> np.ndarray:
     """Point-in-convex-polygon between two real parties.
 
     role 1 (server) passes ``edges`` = (x, y, z) coefficient arrays
@@ -173,6 +185,7 @@ def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
         sxp = party.share_input()
         syp = party.share_input()
     far = np.zeros(B, bool)
+    orients = []
     for i in range(n_edges):
         if role == 1:
             s_xi = party.share_input(np.full(B, x[i] & 0xFFFFFFFF), rng)
@@ -183,6 +196,19 @@ def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
             s_yi = party.share_input()
             s_zi = party.share_input()
         orient = (party.mul(s_xi, sxp) + party.mul(s_yi, syp) + s_zi).astype(_U32)
+        if compare == "yao":
+            orients.append(orient)
+            continue
         neg = party.open(orient) > np.uint32(0x7FFFFFFF)
         far |= neg
+    if compare == "yao":
+        from . import yao
+
+        grp = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
+        yrng = random.Random(4000 + role + (seed << 2))
+        shares = np.stack(orients, axis=1)  # [B, E]
+        if role == 0:
+            far = yao.yao_any_negative_evaluator(ch, shares, grp, yrng)
+        else:
+            far = yao.yao_any_negative_garbler(ch, shares, grp, yrng)
     return ~far

@@ -102,3 +102,42 @@ def test_polygon_networked_matches_oracle(group):
     )
     oracle = polygon_predicate_clear(a, b, xp, yp)
     assert (r0 == oracle).all() and (r1 == oracle).all()
+
+
+def test_circle_networked_yao(group):
+    rng = np.random.default_rng(2)
+    B = 4
+    x0 = rng.integers(0, 2000, B)
+    y0 = rng.integers(0, 2000, B)
+    x1 = rng.integers(0, 2000, B)
+    y1 = rng.integers(0, 2000, B)
+    thr_sq = 900 * 900
+    ca, cb = _pair()
+    r0, r1 = _run_pair(
+        lambda: circle_predicate_2pc_networked(
+            ca, 0, x0, y0, thr_sq, group, compare="yao"
+        ),
+        lambda: circle_predicate_2pc_networked(
+            cb, 1, x1, y1, thr_sq, group, compare="yao"
+        ),
+    )
+    oracle = circle_predicate_clear(x0, y0, x1, y1, thr_sq)
+    assert (r0 == oracle).all() and (r1 == oracle).all()
+
+
+def test_polygon_networked_yao(group):
+    a = np.array([0, 1000, 1000, 0])
+    b = np.array([0, 0, 1000, 1000])
+    xp = np.array([500, 1500, 10])
+    yp = np.array([500, 500, 10])
+    ca, cb = _pair()
+    r0, r1 = _run_pair(
+        lambda: polygon_predicate_2pc_networked(
+            ca, 0, point=(xp, yp), group=group, compare="yao"
+        ),
+        lambda: polygon_predicate_2pc_networked(
+            cb, 1, edges=polygon_edge_coeffs(a, b), group=group, compare="yao"
+        ),
+    )
+    oracle = polygon_predicate_clear(a, b, xp, yp)
+    assert (r0 == oracle).all() and (r1 == oracle).all()
