@@ -94,6 +94,25 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--out-leg", default="./server_leg.csv")
     ts.add_argument("--out-opt", default="./server_opt.csv")
 
+    tp = sub.add_parser(
+        "2pc", help="two-party circle/polygon predicate (ABY mytest)"
+    )
+    tp.add_argument("--role", "-r", type=_ranged(0, 1), required=True,
+                    help="0 = server (listens), 1 = client (connects)")
+    tp.add_argument("--address", "-a", default="127.0.0.1")
+    tp.add_argument("--port", "-p", type=_ranged(1, 65535), default=7766)
+    tp.add_argument("--ipv6", "-6", action="store_true")
+    tp.add_argument("--circuit", choices=["circle", "poly"], default="circle")
+    tp.add_argument("--compare", choices=["open", "yao"], default="yao")
+    tp.add_argument("-x", type=int, default=0, help="own point x")
+    tp.add_argument("-y", type=int, default=0, help="own point y")
+    tp.add_argument("--radius", type=_ranged(1, 1 << 15), default=128)
+    tp.add_argument("--ax", default="", help="polygon vertex x list (server)")
+    tp.add_argument("--ay", default="", help="polygon vertex y list (server)")
+    tp.add_argument("--otp-bits", type=int, default=2048,
+                    help="base-OT group size (512 for tests)")
+    tp.add_argument("--seed", type=int, default=None)
+
     return ap
 
 
@@ -135,6 +154,10 @@ def main(argv=None) -> int:
         from .benchmark.sweep import ts_main
 
         return ts_main(args)
+    if args.cmd == "2pc":
+        from .secure2pc.climain import twopc_main
+
+        return twopc_main(args)
     return 2
 
 
