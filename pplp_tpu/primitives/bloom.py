@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BloomParameters", "BloomFilter"]
+__all__ = ["BloomParameters", "BloomFilter", "CompressibleBloomFilter"]
 
 BITS_PER_CHAR = 8
 
@@ -384,3 +384,58 @@ class BloomFilter:
             and self.inserted_element_count == other.inserted_element_count
             and (self.bit_table == other.bit_table).all()
         )
+
+
+class CompressibleBloomFilter(BloomFilter):
+    """Partow's ``compressible_bloom_filter`` (bloomfilter.h:613-688):
+    the bit table can shrink after construction; lookups chain the modulus
+    through every historical size so old insertions keep resolving.
+
+    ``compress(percentage)`` folds the table (OR of wrapped cells) to
+    (100-percentage)% of its current size, byte-aligned; returns False (and
+    leaves the filter unchanged) for out-of-range or degenerate requests."""
+
+    def __init__(self, params: BloomParameters | None = None):
+        super().__init__(params)
+        self.size_list = [self.table_size] if self.table_size else []
+
+    def _index_chain(self, h: int) -> int:
+        for s in self.size_list:
+            h %= s
+        return h
+
+    def _indices(self, data: bytes):
+        for s in self.salts:
+            h = _hash_ap_bytes(data, int(s))
+            if self.index_mode == "mixed":
+                h = _fmix32_int(h)
+            yield self._index_chain(h)
+
+    def _idx_batch(self, klo, khi):
+        assert self.table_size < (1 << 32)
+        salts = jnp.asarray(self.salts)
+        h = _hash_ap_u64_vec(jnp.asarray(klo), jnp.asarray(khi), salts)
+        if self.index_mode == "mixed":
+            h = _fmix32_vec(h)
+        for s in self.size_list:
+            h = h % jnp.uint32(s)
+        return h
+
+    def compress(self, percentage: float) -> bool:
+        if not (0.0 < percentage < 100.0):
+            return False
+        self._sync_host()
+        original = self.table_size
+        new_size = int(original * (1.0 - percentage / 100.0))
+        new_size -= new_size % BITS_PER_CHAR
+        if new_size < BITS_PER_CHAR or new_size >= original:
+            return False
+        bits = np.unpackbits(self.bit_table, bitorder="little")[:original]
+        folded = np.zeros(new_size, np.uint8)
+        idx = np.arange(original) % new_size
+        np.bitwise_or.at(folded, idx, bits)
+        self.bit_table = np.packbits(folded, bitorder="little")
+        self.table_size = new_size
+        self.size_list.append(new_size)
+        self._device_bits = None
+        return True

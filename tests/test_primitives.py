@@ -126,3 +126,34 @@ def test_end_to_end_proximity_membership():
     for d2 in [sq, sq + 1, sq + 12345]:
         bd = (bl.s * (d2 + bl.r)) & ((1 << 64) - 1)
         assert not bf.contains_u64(pack_key(bd, bl.w, bl.w_len))
+
+
+def test_compressible_bloom_filter():
+    """Compression keeps all inserted keys resolvable (bloomfilter.h:613)."""
+    from pplp_tpu.primitives.bloom import BloomParameters, CompressibleBloomFilter
+
+    params = BloomParameters(
+        projected_element_count=500,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+    )
+    assert params.compute_optimal_parameters()
+    bf = CompressibleBloomFilter(params)
+    keys = list(range(100, 400))
+    for k in keys:
+        bf.insert_u64(k)
+    orig_size = bf.table_size
+    assert bf.compress(50.0)
+    assert bf.table_size < orig_size
+    assert len(bf.size_list) == 2
+    assert all(bf.contains_u64(k) for k in keys)
+    # Degenerate requests refused, filter unchanged.
+    assert not bf.compress(0.0)
+    assert not bf.compress(100.0)
+    # Batched device probes follow the size chain too.
+    import numpy as np
+
+    klo = np.asarray(keys, np.uint64) & 0xFFFFFFFF
+    khi = np.asarray(keys, np.uint64) >> 32
+    got = bf.contains_u64_batch(klo.astype(np.uint32), khi.astype(np.uint32))
+    assert bool(np.asarray(got).all())
