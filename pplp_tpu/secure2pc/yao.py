@@ -8,8 +8,8 @@ real parties:
 
   * wires carry 16-byte labels; XOR gates are free (global offset R, lsb(R)=1
     is the point-and-permute bit);
-  * AND gates are classic 4-row tables, rows keyed by the labels' permute
-    bits, encrypted with SHA-256(H(label_a, label_b, gate_id));
+  * AND gates use half-gates (Zahur-Rosulek-Evans): two SHA-256-encrypted
+    ciphertexts per gate, free-XOR compatible;
   * the evaluator's input labels arrive by oblivious transfer (ot.iknp_*),
     the garbler's by direct send;
   * the circuit is the 32-bit A2Y adder (1 AND/bit via the free-XOR full
@@ -71,21 +71,31 @@ class _Garble:
         return _xor(a, self.R)
 
     def and_(self, a0: bytes, b0: bytes) -> bytes:
-        """Garble an AND gate; returns the output 0-label, appends table."""
-        c0 = self.wire()
+        """Garble an AND gate with half-gates (Zahur–Rosulek–Evans): two
+        ciphertexts per gate, free-XOR compatible. Returns the output
+        0-label and appends the (TG ‖ TE) table."""
         gid = self.gid
         self.gid += 1
-        rows = [None] * 4
-        for va in (0, 1):
-            for vb in (0, 1):
-                la = _xor(a0, self.R) if va else a0
-                lb = _xor(b0, self.R) if vb else b0
-                lc = _xor(c0, self.R) if (va & vb) else c0
-                rows[((la[0] & 1) << 1) | (lb[0] & 1)] = _xor(
-                    _h(la, lb, gid), lc
-                )
-        self.tables.append(b"".join(rows))
-        return c0
+        R = self.R
+        a1 = _xor(a0, R)
+        b1 = _xor(b0, R)
+        pa = a0[0] & 1
+        pb = b0[0] & 1
+        zero = b"\x00" * LBYTES
+        # Garbler half: computes a AND pb.
+        ha0 = _h(a0, zero, 2 * gid)
+        ha1 = _h(a1, zero, 2 * gid)
+        tg = _xor(ha0, ha1)
+        if pb:
+            tg = _xor(tg, R)
+        wg0 = _xor(ha0, tg) if pa else ha0
+        # Evaluator half: computes a AND (b xor pb).
+        hb0 = _h(b0, zero, 2 * gid + 1)
+        hb1 = _h(b1, zero, 2 * gid + 1)
+        te = _xor(_xor(hb0, hb1), a0)
+        we0 = _xor(hb0, _xor(te, a0)) if pb else hb0
+        self.tables.append(tg + te)
+        return _xor(wg0, we0)
 
 
 class _Eval:
@@ -105,8 +115,18 @@ class _Eval:
         tbl = self.tables[self.gid]
         gid = self.gid
         self.gid += 1
-        idx = ((a[0] & 1) << 1) | (b[0] & 1)
-        return _xor(_h(a, b, gid), tbl[idx * LBYTES : (idx + 1) * LBYTES])
+        tg = tbl[:LBYTES]
+        te = tbl[LBYTES:]
+        zero = b"\x00" * LBYTES
+        sa = a[0] & 1
+        sb = b[0] & 1
+        wg = _h(a, zero, 2 * gid)
+        if sa:
+            wg = _xor(wg, tg)
+        we = _h(b, zero, 2 * gid + 1)
+        if sb:
+            we = _xor(we, _xor(te, a))
+        return _xor(wg, we)
 
 
 def _circuit(g, e_bits, g_bits, t_bits, zero):
@@ -213,6 +233,7 @@ def yao_lt_evaluator(ch, share: np.ndarray, group: ot.SchnorrGroup,
     share = np.atleast_1d(np.asarray(share)).astype(np.uint64)
     B = len(share)
     n_ands = 2 * NBITS
+    tbl_bytes = 2 * LBYTES
     blob_tables = ch.recv_frame()
     blob_ginputs = ch.recv_frame()
     out_permute = ch.recv_frame()
@@ -226,11 +247,11 @@ def yao_lt_evaluator(ch, share: np.ndarray, group: ot.SchnorrGroup,
         off = (2 * i + int(c)) * LBYTES
         e_labels.append(_xor(pads[i], enc[off : off + LBYTES]))
     results = np.zeros(B, np.uint8)
-    tb_per = n_ands * 4 * LBYTES
+    tb_per = n_ands * tbl_bytes
     gi_per = (2 * NBITS + 1) * LBYTES
     for n in range(B):
         tables = [
-            blob_tables[n * tb_per + k * 4 * LBYTES : n * tb_per + (k + 1) * 4 * LBYTES]
+            blob_tables[n * tb_per + k * tbl_bytes : n * tb_per + (k + 1) * tbl_bytes]
             for k in range(n_ands)
         ]
         ev = _Eval(tables)
@@ -294,6 +315,7 @@ def yao_any_negative_evaluator(ch, shares: np.ndarray, group: ot.SchnorrGroup,
     shares = np.atleast_2d(np.asarray(shares)).astype(np.uint64)
     B, E = shares.shape
     n_ands = E * (NBITS - 1) + (E - 1)
+    tbl_bytes = 2 * LBYTES
     blob_tables = ch.recv_frame()
     blob_ginputs = ch.recv_frame()
     out_permute = ch.recv_frame()
@@ -308,11 +330,11 @@ def yao_any_negative_evaluator(ch, shares: np.ndarray, group: ot.SchnorrGroup,
         off = (2 * i + int(c)) * LBYTES
         e_labels.append(_xor(pads[i], enc[off : off + LBYTES]))
     results = np.zeros(B, np.uint8)
-    tb_per = n_ands * 4 * LBYTES
+    tb_per = n_ands * tbl_bytes
     gi_per = (E * NBITS + 1) * LBYTES
     for n in range(B):
         tables = [
-            blob_tables[n * tb_per + k * 4 * LBYTES : n * tb_per + (k + 1) * 4 * LBYTES]
+            blob_tables[n * tb_per + k * tbl_bytes : n * tb_per + (k + 1) * tbl_bytes]
             for k in range(n_ands)
         ]
         ev = _Eval(tables)
