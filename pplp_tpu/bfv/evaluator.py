@@ -51,6 +51,41 @@ class Evaluator:
         p, q2 = self.ctx.prof, self.ctx.tables.q_b(1)
         return Ciphertext(tuple(p.neg(c, q2) for c in a.polys), a.domain)
 
+    def add_many(self, cts) -> Ciphertext:
+        """Tree-sum of ciphertexts (SEAL Evaluator::add_many; the CKKS demo
+        aggregates with it, /root/reference/src/ckks_demo/ckks_server.cc)."""
+        cts = list(cts)
+        assert cts, "add_many of nothing"
+        while len(cts) > 1:
+            nxt = [
+                self.add(cts[i], cts[i + 1]) if i + 1 < len(cts) else cts[i]
+                for i in range(0, len(cts), 2)
+            ]
+            cts = nxt
+        return cts[0]
+
+    # -- ct * ct ----------------------------------------------------------
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """BEHZ full-RNS multiply (size-3 result; relinearize to shrink)."""
+        from .behz import RnsMultiplier
+
+        mul = getattr(self, "_mul", None)
+        if mul is None:
+            mul = self._mul = RnsMultiplier(self.ctx)
+        return mul.multiply(a, b)
+
+    def relinearize(self, ct: Ciphertext, keys) -> Ciphertext:
+        """Dispatch on key type: RNS-gadget KSwitchKeys or special-prime
+        SPKeys (bfv.keyswitch)."""
+        from .keyswitch import SPKeys, sp_relinearize
+
+        if isinstance(keys, SPKeys):
+            return sp_relinearize(self.ctx, ct, keys)
+        from .behz import relinearize
+
+        return relinearize(self.ctx, ct, keys)
+
     # -- ct (+|-) plain -------------------------------------------------
 
     def _plain_pairs(self, plain):

@@ -69,6 +69,45 @@ class DGKBatch:
         cv = self.mc.powmod_shared_exp(cts, priv.vpq)
         return dtab.lookup(cv)
 
+    def build_bsgs_table(self, priv: DGKPrivateKey) -> "DGKDeviceTable":
+        """Baby-step table {G^j : j < ceil(sqrt(u))} — O(sqrt(u)) memory,
+        vs the full u-entry decrypt table."""
+        import math
+
+        G = pow(priv.g, priv.vpq, priv.n)
+        m_steps = math.isqrt(self.pub.u) + 1
+        table, acc = {}, 1
+        for j in range(m_steps):
+            table[acc] = j
+            acc = acc * G % priv.n
+        return DGKDeviceTable.from_map(table, self.mc.D)
+
+    def decrypt_batch_device_bsgs(self, priv: DGKPrivateKey,
+                                  btab: "DGKDeviceTable", cts):
+        """Device decrypt via baby-step/giant-step — O(sqrt(u)) table.
+
+        The device counterpart of the reference's ph.cc dlog path
+        (compute_dlog_bsgs, src/test/dgk/src/ph.cc): giant steps multiply by
+        G^{-m} on device and probe the fingerprint table; ~sqrt(u) batched
+        Montgomery multiplies total."""
+        import math
+
+        mc = self.mc
+        u = self.pub.u
+        m_steps = math.isqrt(u) + 1
+        G = pow(priv.g, priv.vpq, priv.n)
+        giant = jnp.asarray(to_digits([pow(G, -m_steps, priv.n)], mc.D))
+        z = mc.powmod_shared_exp(cts, priv.vpq)
+        miss = jnp.uint32(DGKDeviceTable.MISS)
+        out = jnp.full(z.shape[0], miss, jnp.uint32)
+        n_giant = (u + m_steps - 1) // m_steps + 1
+        for i in range(n_giant):
+            j = btab.lookup(z)
+            hit = (j != miss) & (out == miss)
+            out = jnp.where(hit, jnp.uint32(i * m_steps) + j, out)
+            z = mc.mulmod(z, giant)
+        return out
+
     # -- the comparison/proximity pipeline ------------------------------
 
     def blind_distance_batch(self, c1, c2, c3, xb: int, yb: int,
@@ -127,11 +166,16 @@ class DGKDeviceTable:
     def build(priv: DGKPrivateKey, D: int) -> "DGKDeviceTable":
         if priv.rtab is None:
             priv.init_table()
-        u = len(priv.rtab)
+        return DGKDeviceTable.from_map(priv.rtab, D)
+
+    @staticmethod
+    def from_map(table: dict, D: int) -> "DGKDeviceTable":
+        """Build from any {group element -> u32 message/index} map."""
+        u = len(table)
         size = 1 << max(4, (u * 4 - 1).bit_length())  # load factor <= 0.25
         nbytes = D * 2
         vals = np.frombuffer(
-            b"".join(int(v).to_bytes(nbytes, "little") for v in priv.rtab),
+            b"".join(int(v).to_bytes(nbytes, "little") for v in table),
             dtype="<u2",
         ).reshape(u, D).astype(np.uint16)
         fp1 = _fp_host(vals, _FP_A1)
@@ -139,7 +183,7 @@ class DGKDeviceTable:
         pairs = set(zip(fp1.tolist(), fp2.tolist()))
         if len(pairs) != u:  # pragma: no cover - probability ~2^-33
             raise RuntimeError("fingerprint collision in DGK table; rebuild")
-        msgs = np.fromiter(priv.rtab.values(), np.uint32, count=u)
+        msgs = np.fromiter(table.values(), np.uint32, count=u)
         t_fp1 = np.zeros(size, np.uint32)
         t_fp2 = np.zeros(size, np.uint32)
         t_msg = np.full(size, DGKDeviceTable.MISS, np.uint32)

@@ -95,3 +95,21 @@ def test_device_decrypt_table():
     dev = [int(v) for v in jax.device_get(db.decrypt_batch_device(priv, dtab, cts))]
     assert host == ms
     assert dev == ms
+
+
+def test_device_decrypt_bsgs(keys):
+    """O(sqrt(u))-table device BSGS decrypt matches the hash-map path."""
+    import jax
+    from pplp_tpu.dgk.batched import DGKBatch
+    from pplp_tpu.dgk.dgk import dgk_random_num
+    import random
+
+    priv, pub = keys
+    db = DGKBatch.build(pub)
+    btab = db.build_bsgs_table(priv)
+    rng = random.Random(3)
+    ms = [rng.randrange(0, pub.u) for _ in range(32)]
+    rs = [dgk_random_num(2 * T, rng) for _ in range(32)]
+    cts = db.encrypt_batch(ms, rs)
+    dev = [int(v) for v in jax.device_get(db.decrypt_batch_device_bsgs(priv, btab, cts))]
+    assert dev == ms

@@ -95,3 +95,32 @@ def test_multiply_on_four_engine():
     cb = enc.encrypt(Plaintext(format(222, "X")), jax.random.key(8))
     out = relinearize(ctx, mul.multiply(ca, cb), rlk)
     assert int(dec.decrypt(out).to_string(), 16) == (111 * 222) % T
+
+
+def test_evaluator_multiply_add_many():
+    """Evaluator.multiply/relinearize/add_many convenience surface."""
+    import jax
+    from pplp_tpu.bfv import (
+        BFVContext, Decryptor, EncryptionParameters, Encryptor, Evaluator,
+        KeyGenerator, Plaintext,
+    )
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 256, 1 << 16
+    chain = get_primes(28, 2, n) + get_primes(27, 2, n)
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    kg = KeyGenerator(ctx, 4)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec, ev = Encryptor(ctx, pk), Decryptor(ctx, sk), Evaluator(ctx)
+    cts = [
+        enc.encrypt(Plaintext(format(v, "X")), jax.random.key(40 + i))
+        for i, v in enumerate([11, 22, 33, 44, 55])
+    ]
+    total = dec.decrypt(ev.add_many(cts))
+    assert int(total.to_string() or "0", 16) == 11 + 22 + 33 + 44 + 55
+
+    from pplp_tpu.bfv.keyswitch import create_sp_relin_keys
+
+    spk = create_sp_relin_keys(ctx, kg, jax.random.key(9))
+    prod = ev.relinearize(ev.multiply(cts[0], cts[1]), spk)
+    assert int(dec.decrypt(prod).to_string() or "0", 16) == 11 * 22
