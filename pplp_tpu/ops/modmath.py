@@ -217,6 +217,16 @@ class m31:
         return x - jnp.where(x >= two_q, two_q, 0).astype(jnp.uint32)
 
     @staticmethod
+    def lazy_add(x, y):
+        """Raw add without reduction (caller guarantees < 2^32)."""
+        return x + y
+
+    @staticmethod
+    def lazy_sub2q(x, y, two_q):
+        """x - y + 2q without reduction (x, y < 2q -> result < 4q)."""
+        return x + two_q - y
+
+    @staticmethod
     def reduce64(lo, hi, q, mu_lo, mu_hi):
         """Reduce a 64-bit value (lo, hi) mod q via Barrett.
 
@@ -329,12 +339,37 @@ class m62:
 
         r = (w*x mod 2^64) - hi64(w_shoup * x) * q mod 2^64, in [0, 2q).
         """
+        return m62.csub(m62.mulmod_shoup_lazy(x, w, w_shoup, q), q)
+
+    @staticmethod
+    def mulmod_shoup_lazy(x, w, w_shoup, q):
+        """Shoup product WITHOUT the final subtraction: result in [0, 2q).
+
+        Valid for any 64-bit x (Harvey lazy butterflies feed x < 4q < 2^64).
+        """
         wx = comba_mul([x[0], x[1]], [w[0], w[1]], out_limbs=2)
         est_full = comba_mul([x[0], x[1]], [w_shoup[0], w_shoup[1]])
         est = (est_full[2], est_full[3])  # hi64 of x * w_shoup
         est_q = comba_mul([est[0], est[1]], [q[0], q[1]], out_limbs=2)
-        r = m62._sub_raw((wx[0], wx[1]), (est_q[0], est_q[1]))
-        return m62.csub(r, q)
+        return m62._sub_raw((wx[0], wx[1]), (est_q[0], est_q[1]))
+
+    @staticmethod
+    def csub2q(x, two_q):
+        """Map [0, 4q) -> [0, 2q) (Harvey lazy normalization; 4q < 2^64)."""
+        ge = m62._geq(x, two_q)
+        d = m62._sub_raw(x, two_q)
+        sel = lambda a, b: jnp.where(ge, a, b)
+        return sel(d[0], x[0]), sel(d[1], x[1])
+
+    @staticmethod
+    def lazy_add(x, y):
+        """Raw add without reduction (caller guarantees < 2^64)."""
+        return m62._add_raw(x, y)
+
+    @staticmethod
+    def lazy_sub2q(x, y, two_q):
+        """x - y + 2q without reduction (x, y < 2q -> result < 4q)."""
+        return m62._sub_raw(m62._add_raw(x, two_q), y)
 
     @staticmethod
     def reduce128(z, q, ratio):

@@ -170,6 +170,13 @@ def build_tables(
     )
 
 
+def _double(q):
+    """2q for either residue profile (m62 pairs carry into the high limb)."""
+    if isinstance(q, tuple):
+        return m62._add_raw(q, q)
+    return q * 2
+
+
 def _view(x, h: int, t: int):
     """Reshape trailing coeff axis n -> (h, 2, t)."""
     return jax.tree.map(lambda a: a.reshape(a.shape[:-1] + (h, 2, t)), x)
@@ -209,6 +216,7 @@ def forward(x, tb: NttTables):
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)
+    two_q = _double(q3)
     h, t = 1, n
     for _ in range(tb.logn):
         t //= 2
@@ -217,10 +225,13 @@ def forward(x, tb: NttTables):
         v = _half(xv, 1)
         w = _slice_tbl(tb.w, h, 2 * h)
         ws = _slice_tbl(tb.ws, h, 2 * h)
-        mv = p.mulmod_shoup(v, w, ws, q3)
-        x = _flat(_stack(p.add(u, mv, q3), p.sub(u, mv, q3)), n)
+        # Harvey lazy CT: u < 4q -> [0,2q); outputs < 4q; canonical at end.
+        u = p.csub2q(u, two_q)
+        mv = p.mulmod_shoup_lazy(v, w, ws, q3)
+        x = _flat(_stack(p.lazy_add(u, mv), p.lazy_sub2q(u, mv, two_q)), n)
         h *= 2
-    return x
+    q2 = tb.q_b(1)
+    return p.csub(p.csub2q(x, _double(q2)), q2)
 
 
 def inverse(x, tb: NttTables):
@@ -240,6 +251,7 @@ def inverse(x, tb: NttTables):
     p = tb.prof
     n = tb.n
     q3 = tb.q_b(2)
+    two_q = _double(q3)
     h, t = n // 2, 1
     for _ in range(tb.logn):
         xv = _view(x, h, t)
@@ -247,12 +259,13 @@ def inverse(x, tb: NttTables):
         v = _half(xv, 1)
         w = _slice_tbl(tb.iw, h, 2 * h)
         ws = _slice_tbl(tb.iws, h, 2 * h)
-        s = p.add(u, v, q3)
-        d = p.mulmod_shoup(p.sub(u, v, q3), w, ws, q3)
+        # Harvey lazy GS: inputs/outputs < 2q; canonical via the n^{-1} mul.
+        s = p.csub2q(p.lazy_add(u, v), two_q)
+        d = p.mulmod_shoup_lazy(p.lazy_sub2q(u, v, two_q), w, ws, q3)
         x = _flat(_stack(s, d), n)
         h //= 2
         t *= 2
-    # Scale by n^{-1}.
+    # Scale by n^{-1} (full Shoup reduction restores canonical residues).
     q2 = tb.q_b(1)
     ninv = jax.tree.map(lambda a: a[:, None], tb.n_inv)
     ninv_s = jax.tree.map(lambda a: a[:, None], tb.n_inv_s)
