@@ -55,7 +55,7 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
     return transforms / best
 
 
-def bench_multiply(n=4096, batch=128, iters=5):
+def bench_multiply(n=4096, batch=256, iters=5):
     """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
     import numpy as np
 

@@ -43,6 +43,8 @@ __all__ = [
     "create_sp_relin_keys",
     "sp_keyswitch",
     "sp_relinearize",
+    "create_sp_galois_keys",
+    "apply_galois_sp",
 ]
 
 
@@ -209,3 +211,30 @@ def sp_relinearize(ctx: BFVContext, ct: Ciphertext, spk: SPKeys) -> Ciphertext:
     c0, c1, c2 = ct.polys
     d0, d1 = sp_keyswitch(ctx, spk, c2)
     return Ciphertext((p.add(c0, d0, q2), p.add(c1, d1, q2)), "coeff")
+
+
+def create_sp_galois_keys(ctx: BFVContext, keygen, g: int, key) -> SPKeys:
+    """Special-prime Galois keys: target sigma_g(s) over QP."""
+    from . import sampling
+    from .galois import apply_galois_plain
+
+    ctx_qp, _ = build_ctx_qp(ctx)
+    s_coeff_qp = sampling.ternary_poly(keygen._key_s, ctx_qp)
+    target = ntt.forward(
+        apply_galois_plain(ctx_qp, s_coeff_qp, g), ctx_qp.tables
+    )
+    return create_sp_kswitch_keys(ctx, keygen, target, key)
+
+
+def apply_galois_sp(ctx: BFVContext, ct: Ciphertext, g: int,
+                    spk: SPKeys) -> Ciphertext:
+    """sigma_g + special-prime key switch back to s (low-noise rotations)."""
+    from .galois import apply_galois_plain
+
+    assert ct.size == 2 and ct.domain == "coeff"
+    p = ctx.prof
+    q2 = ctx.tables.q_b(1)
+    c0g = apply_galois_plain(ctx, ct.polys[0], g)
+    c1g = apply_galois_plain(ctx, ct.polys[1], g)
+    d0, d1 = sp_keyswitch(ctx, spk, c1g)
+    return Ciphertext((p.add(c0g, d0, q2), d1), "coeff")

@@ -91,3 +91,29 @@ def test_ckks_multiply_sp_precision():
     err = np.max(np.abs(np.real(got[:4]) - a * b))
     # The gadget path passes at 2e-2 on this chain; SP must be far tighter.
     assert err < 1e-4
+
+
+def test_sp_galois_rotation():
+    """SP Galois keys rotate batch-encoded slots like the gadget path."""
+    from pplp_tpu.bfv.batch_encoder import BatchEncoder
+    from pplp_tpu.bfv.galois import galois_elt_from_step
+    from pplp_tpu.bfv.keyswitch import apply_galois_sp, create_sp_galois_keys
+    from pplp_tpu.ops.primes import get_primes
+
+    n = 256
+    t = get_primes(20, 1, n)[0]
+    chain = get_primes(28, 3, n)
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    kg = KeyGenerator(ctx, 5)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    be = BatchEncoder(ctx)
+    vals = list(range(n))
+    ct = enc.encrypt(be.encode(vals), jax.random.key(6))
+    g = galois_elt_from_step(1, n)
+    gk = create_sp_galois_keys(ctx, kg, g, jax.random.key(7))
+    rot = apply_galois_sp(ctx, ct, g, gk)
+    got = be.decode(dec.decrypt(rot))
+    half = n // 2
+    expect = vals[1:half] + vals[:1] + vals[half + 1 :] + vals[half : half + 1]
+    assert got == expect
