@@ -121,6 +121,15 @@ def create_sp_kswitch_keys(ctx: BFVContext, keygen, target_ntt_qp, key) -> SPKey
         k0_rows.append(b)
         k1_rows.append(a)
 
+    return make_sp_keys(ctx, ctx_qp, P, k0_rows, k1_rows)
+
+
+def make_sp_keys(ctx: BFVContext, ctx_qp: BFVContext, P: int,
+                 k0_rows, k1_rows) -> SPKeys:
+    """Assemble SPKeys from per-digit NTT-domain rows over QP (also the
+    deserialization entry point)."""
+    from .keys import _shoup as sh
+
     stack = lambda rows: jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
     row_shoup = lambda rows: jax.tree.map(
         lambda *xs: jnp.stack(xs), *[sh(ctx_qp, r) for r in rows]

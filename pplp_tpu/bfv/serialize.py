@@ -30,6 +30,10 @@ __all__ = [
     "load_public_key",
     "save_secret_key",
     "load_secret_key",
+    "save_kswitch_keys",
+    "load_kswitch_keys",
+    "save_sp_keys",
+    "load_sp_keys",
 ]
 
 _MAGIC_PARMS = b"PPLPprm1"
@@ -169,3 +173,99 @@ def load_ciphertext(buf: bytes, ctx: BFVContext) -> Ciphertext:
         res, off = _unpack_residues(buf, off, n, widths)
         polys.append(ntt.to_device(res, ctx.tables))
     return Ciphertext(tuple(polys), "coeff")
+
+
+# -- key-switching keys (relin / Galois; gadget and special-prime) ----------
+
+_MAGIC_KSW = b"PPLPksw1"
+_MAGIC_SPK = b"PPLPspk1"
+
+
+def save_kswitch_keys(keys, ctx: BFVContext) -> bytes:
+    """RNS-gadget KSwitchKeys (behz): k digit rows of (b, a), stored in
+    coefficient order so they interoperate across NTT engines (SEAL's
+    RelinKeys::save counterpart)."""
+    import jax
+
+    widths = _limb_widths(ctx)
+    k = int(jax.tree.leaves(keys.k0)[0].shape[0])
+    out = [_MAGIC_KSW, struct.pack("<QHH", ctx.n, ctx.L, k)]
+    for rows in (keys.k0, keys.k1):
+        for i in range(k):
+            row = jax.tree.map(lambda a: a[i], rows)
+            coeff = ntt.inverse(row, ctx.tables)
+            out.append(_pack_residues(ntt.to_numpy(coeff, ctx.tables), widths))
+    return b"".join(out)
+
+
+def load_kswitch_keys(buf: bytes, ctx: BFVContext):
+    import jax
+    import jax.numpy as jnp
+
+    from .behz import KSwitchKeys
+    from .keys import _shoup
+
+    assert buf[:8] == _MAGIC_KSW, "bad kswitch magic"
+    n, L, k = struct.unpack_from("<QHH", buf, 8)
+    assert n == ctx.n and L == ctx.L, "kswitch keys/context mismatch"
+    off = 8 + struct.calcsize("<QHH")
+    widths = _limb_widths(ctx)
+    stacks = []
+    for _ in range(2):
+        rows = []
+        for _ in range(k):
+            res, off = _unpack_residues(buf, off, n, widths)
+            rows.append(ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables))
+        stacks.append(rows)
+    stack = lambda rows: jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+    shoup = lambda rows: jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_shoup(ctx, r) for r in rows]
+    )
+    return KSwitchKeys(
+        k0=stack(stacks[0]), k0_shoup=shoup(stacks[0]),
+        k1=stack(stacks[1]), k1_shoup=shoup(stacks[1]),
+    )
+
+
+def save_sp_keys(spk, ctx: BFVContext) -> bytes:
+    """Special-prime SPKeys: k digit rows of (b, a) over Q∪{P}."""
+    import jax
+
+    ctx_qp = spk.ctx_qp
+    widths = _limb_widths(ctx_qp)
+    k = int(jax.tree.leaves(spk.k0)[0].shape[0])
+    out = [_MAGIC_SPK, struct.pack("<QHHQ", ctx.n, ctx.L, k, spk.P)]
+    for rows in (spk.k0, spk.k1):
+        for i in range(k):
+            row = jax.tree.map(lambda a: a[i], rows)
+            coeff = ntt.inverse(row, ctx_qp.tables)
+            out.append(_pack_residues(ntt.to_numpy(coeff, ctx_qp.tables), widths))
+    return b"".join(out)
+
+
+def load_sp_keys(buf: bytes, ctx: BFVContext):
+    import jax
+
+    from .keyswitch import make_sp_keys
+
+    assert buf[:8] == _MAGIC_SPK, "bad sp-keys magic"
+    n, L, k, P = struct.unpack_from("<QHHQ", buf, 8)
+    assert n == ctx.n and L == ctx.L, "sp keys/context mismatch"
+    ctx_qp = BFVContext.build(
+        ctx.parms.with_coeff_modulus(
+            tuple(m.value for m in ctx.moduli) + (int(P),)
+        ),
+        engine=ctx.tables.engine,
+    )
+    off = 8 + struct.calcsize("<QHHQ")
+    widths = _limb_widths(ctx_qp)
+    stacks = []
+    for _ in range(2):
+        rows = []
+        for _ in range(k):
+            res, off = _unpack_residues(buf, off, n, widths)
+            rows.append(
+                ntt.forward(ntt.to_device(res, ctx_qp.tables), ctx_qp.tables)
+            )
+        stacks.append(rows)
+    return make_sp_keys(ctx, ctx_qp, int(P), stacks[0], stacks[1])

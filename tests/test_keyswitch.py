@@ -117,3 +117,31 @@ def test_sp_galois_rotation():
     half = n // 2
     expect = vals[1:half] + vals[:1] + vals[half + 1 :] + vals[half : half + 1]
     assert got == expect
+
+
+def test_keyswitch_key_serialization_roundtrip():
+    """Relin keys (gadget + SP) survive the wire and still relinearize."""
+    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+    from pplp_tpu.bfv.serialize import (
+        load_kswitch_keys,
+        load_sp_keys,
+        save_kswitch_keys,
+        save_sp_keys,
+    )
+
+    ctx, sk, pk, kg = setup(7)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    c1 = enc.encrypt(Plaintext(format(321, "X")), jax.random.key(11))
+    c2 = enc.encrypt(Plaintext(format(654, "X")), jax.random.key(12))
+    prod3 = mul.multiply(c1, c2)
+
+    rlk = create_relin_keys(ctx, sk, jax.random.key(13))
+    rlk2 = load_kswitch_keys(save_kswitch_keys(rlk, ctx), ctx)
+    got = dec.decrypt(relinearize(ctx, prod3, rlk2))
+    assert int(got.to_string() or "0", 16) == (321 * 654) % T
+
+    spk = create_sp_relin_keys(ctx, kg, jax.random.key(14))
+    spk2 = load_sp_keys(save_sp_keys(spk, ctx), ctx)
+    got = dec.decrypt(sp_relinearize(ctx, prod3, spk2))
+    assert int(got.to_string() or "0", 16) == (321 * 654) % T
