@@ -101,7 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="0 = server (listens), 1 = client (connects)")
     tp.add_argument("--address", "-a", default="127.0.0.1")
     tp.add_argument("--port", "-p", type=_ranged(1, 65535), default=7766)
-    tp.add_argument("--ipv6", "-6", action="store_true")
+    # no "-6" short flag here: it makes argparse treat negative numbers as
+    # options, and 2pc coordinates are legitimately negative.
+    tp.add_argument("--ipv6", action="store_true")
     tp.add_argument("--circuit", choices=["circle", "poly"], default="circle")
     tp.add_argument("--compare", choices=["open", "yao"], default="yao")
     tp.add_argument("-x", type=int, default=0, help="own point x")

@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .modmath import m31
-from .ntt4 import C2, _LOG_C2, FourStepTables, _bitrev
+from .ntt4 import C2, _LOG_C2, FourStepTables
+from .ntt_pallas import _interpret_default
 
 __all__ = ["VmemNttTables", "build_vmem_tables", "forward_vmem", "inverse_vmem"]
 
@@ -182,10 +183,6 @@ def _kernel(direction, c1, logc1, q_ref,
     o_ref[0] = m31.csub(x, q).reshape(tile_b, c1 * C2)
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
-
-
 def _vtables(tb: FourStepTables) -> VmemNttTables:
     cached = getattr(tb, "_vmem_tables", None)
     if cached is None:
@@ -200,10 +197,18 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
     assert L == tb.L and n == tb.n
     xb = x.reshape((-1, L, n))
     B = xb.shape[0]
-    cands = [t for t in range(min(tile_b, B), 0, -1)
-             if B % t == 0 and (t % 8 == 0 or t == B)]
-    tile_b = cands[0] if cands else B
-    xl = jnp.swapaxes(xb, 0, 1)  # [L, B, n]
+    # Pad awkward batch sizes to a multiple of 8 instead of falling back to
+    # one whole-batch tile (a prime B would otherwise blow the VMEM budget).
+    pad = (-B) % 8 if B > tile_b else 0
+    if pad:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((pad, L, n), xb.dtype)], axis=0
+        )
+    Bp = B + pad
+    cands = [t for t in range(min(tile_b, Bp), 0, -1)
+             if Bp % t == 0 and (t % 8 == 0 or t == Bp)]
+    tile_b = cands[0] if cands else Bp
+    xl = jnp.swapaxes(xb, 0, 1)  # [L, Bp, n]
 
     if direction == "fwd":
         aw, aws, cw, cws = vt.aw, vt.aws, vt.cw, vt.cws
@@ -239,7 +244,10 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
         ),
         interpret=_interpret_default() if interpret is None else interpret,
     )(tb.q, aw, aws, cw, cws, am, cm, twm, twms, xl)
-    return jnp.swapaxes(out, 0, 1).reshape(x.shape)
+    out = jnp.swapaxes(out, 0, 1)
+    if pad:
+        out = out[:B]
+    return out.reshape(x.shape)
 
 
 def forward_vmem(x, tb: FourStepTables, tile_b: int = 32, interpret=None):

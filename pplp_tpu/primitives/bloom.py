@@ -421,6 +421,36 @@ class CompressibleBloomFilter(BloomFilter):
             h = h % jnp.uint32(s)
         return h
 
+    def serialize(self) -> bytes:
+        """Base wire format ‖ u16 size-chain length ‖ u64 sizes."""
+        base = super().serialize()
+        import struct as _struct
+
+        tail = _struct.pack("<H", len(self.size_list))
+        tail += b"".join(_struct.pack("<Q", sz) for sz in self.size_list)
+        return base + tail
+
+    @classmethod
+    def deserialize(cls, buf: bytes, index_mode: str = "reference"):
+        import struct as _struct
+
+        bf = super().deserialize(buf, index_mode)
+        # super() returns a CompressibleBloomFilter (cls-aware) but via
+        # __init__(None), so reconstruct the size chain from the tail.
+        off = _HDR.size + 4 * bf.salt_count
+        # bit_table length is the CURRENT (possibly compressed) table size.
+        off += bf.table_size // 8
+        (n_sizes,) = _struct.unpack_from("<H", buf, off)
+        off += 2
+        bf.size_list = [
+            _struct.unpack_from("<Q", buf, off + 8 * i)[0] for i in range(n_sizes)
+        ]
+        assert bf.size_list and bf.size_list[-1] == bf.table_size
+        return bf
+
+    def compute_serialization_size(self) -> int:
+        return super().compute_serialization_size() + 2 + 8 * len(self.size_list)
+
     def compress(self, percentage: float) -> bool:
         if not (0.0 < percentage < 100.0):
             return False

@@ -38,7 +38,10 @@ def twopc_main(args) -> int:
 
     # Both parties derive the same OT group deterministically (public parms).
     group = ot.SchnorrGroup.generate(pbits=args.otp_bits, qbits=160, seed=1)
-    seed = args.seed if args.seed is not None else random.SystemRandom().getrandbits(16)
+    # None = production mode: every protocol draw uses SystemRandom
+    # (os.urandom). Passing --seed switches to insecure reproducible MT19937
+    # (testing only).
+    seed = args.seed
 
     if args.circuit == "circle":
         thr_sq = args.radius * args.radius
@@ -50,7 +53,12 @@ def twopc_main(args) -> int:
         )
     else:
         if role == 0:
-            edges = polygon_edge_coeffs(_parse_list(args.ax), _parse_list(args.ay))
+            ax, ay = _parse_list(args.ax), _parse_list(args.ay)
+            if len(ax) < 3 or len(ax) != len(ay):
+                print("error: --circuit poly needs --ax/--ay with >= 3 "
+                      "matching vertices", file=sys.stderr)
+                return 2
+            edges = polygon_edge_coeffs(ax, ay)
             res = polygon_predicate_2pc_networked(
                 ch, 1, edges=edges, group=group, seed=seed,
                 compare=args.compare,

@@ -26,6 +26,13 @@ __all__ = [
 _U32 = np.uint32
 
 
+def _rng(seed: int | None, role: int, salt: int) -> random.Random:
+    """SystemRandom (os.urandom) unless a TEST-ONLY seed is given."""
+    if seed is None:
+        return random.SystemRandom()
+    return random.Random((seed << 3) + (salt << 1) + role)
+
+
 def _send_u32(ch, arr: np.ndarray):
     ch.send_frame(np.ascontiguousarray(arr, _U32).tobytes())
 
@@ -48,11 +55,15 @@ class PartyArith:
 
     @staticmethod
     def setup(ch, role: int, n_triples: int, group: ot.SchnorrGroup | None = None,
-              seed: int = 0) -> "PartyArith":
+              seed: int | None = None) -> "PartyArith":
         """Generate the triple pool via the OT stack (both parties call this
-        with the same n_triples)."""
+        with the same n_triples).
+
+        ``seed`` is a TEST-ONLY reproducibility hook: passing one derives all
+        protocol randomness from insecure MT19937. Production callers leave
+        it None and get os.urandom-backed SystemRandom."""
         group = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
-        rng = random.Random((seed << 1) | role)
+        rng = _rng(seed, role, 1)
         trip = ot.ot_triples(ch, role, n_triples, group, rng)
         return PartyArith(ch=ch, role=role, triples=trip)
 
@@ -63,7 +74,7 @@ class PartyArith:
         passes None). Owner keeps r, sends x - r."""
         if x is not None:
             x = np.asarray(x, _U32)
-            rng = rng or random.Random()
+            rng = rng or random.SystemRandom()
             r = np.array([rng.getrandbits(32) for _ in x], _U32)
             _send_u32(self.ch, (x - r).astype(_U32))
             return r
@@ -84,13 +95,23 @@ class PartyArith:
         self._used = i + n
         return a[i : i + n], b[i : i + n], c[i : i + n]
 
+    def _exchange(self, arr: np.ndarray) -> np.ndarray:
+        """Symmetric exchange without simultaneous-send deadlock: role 0
+        sends first, role 1 receives first (both sendall-ing at once can
+        block forever once frames exceed the socket buffer)."""
+        if self.role == 0:
+            _send_u32(self.ch, arr)
+            return _recv_u32(self.ch)
+        other = _recv_u32(self.ch)
+        _send_u32(self.ch, arr)
+        return other
+
     def mul(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        """Beaver multiply: one simultaneous exchange of (d, e) shares."""
+        """Beaver multiply: one (d, e)-share exchange round."""
         a, b, c = self._next_triple(len(x))
         d_sh = (x - a).astype(_U32)
         e_sh = (y - b).astype(_U32)
-        _send_u32(self.ch, np.concatenate([d_sh, e_sh]))
-        other = _recv_u32(self.ch)
+        other = self._exchange(np.concatenate([d_sh, e_sh]))
         d = (d_sh + other[: len(x)]).astype(_U32)
         e = (e_sh + other[len(x) :]).astype(_U32)
         z = (c + d * b + e * a).astype(_U32)
@@ -99,8 +120,7 @@ class PartyArith:
         return z
 
     def open(self, x: np.ndarray) -> np.ndarray:
-        _send_u32(self.ch, x)
-        return (x + _recv_u32(self.ch)).astype(_U32)
+        return (x + self._exchange(np.ascontiguousarray(x, _U32))).astype(_U32)
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +130,7 @@ class PartyArith:
 
 def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
                                    group: ot.SchnorrGroup | None = None,
-                                   seed: int = 0,
+                                   seed: int | None = None,
                                    compare: str = "open") -> np.ndarray:
     """Circle test between two real parties: role 0 = client point(s),
     role 1 = server point(s); thr public. Returns bool[B]: True = CLOSE.
@@ -122,8 +142,8 @@ def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
     my_x = np.atleast_1d(np.asarray(my_x)).astype(np.int64)
     my_y = np.atleast_1d(np.asarray(my_y)).astype(np.int64)
     B = len(my_x)
-    party = PartyArith.setup(ch, role, n_triples=6 * B, group=group, seed=seed)
-    rng = random.Random(1000 + role + (seed << 2))
+    party = PartyArith.setup(ch, role, n_triples=2 * B, group=group, seed=seed)
+    rng = _rng(seed, role, 2)
     if role == 0:
         sx0 = party.share_input(my_x, rng)
         sy0 = party.share_input(my_y, rng)
@@ -134,18 +154,16 @@ def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
         sy0 = party.share_input()
         sx1 = party.share_input(my_x, rng)
         sy1 = party.share_input(my_y, rng)
-    x00 = party.mul(sx0, sx0)
-    x11 = party.mul(sx1, sx1)
-    x01 = party.mul(sx0, sx1)
-    y00 = party.mul(sy0, sy0)
-    y11 = party.mul(sy1, sy1)
-    y01 = party.mul(sy0, sy1)
-    d2 = (x00 + x11 - x01 - x01 + y00 + y11 - y01 - y01).astype(_U32)
+    # d2 = (x0-x1)^2 + (y0-y1)^2: differences are linear (local), so the
+    # whole distance costs 2 Beaver multiplies, not 6.
+    dx = (sx0 - sx1).astype(_U32)
+    dy = (sy0 - sy1).astype(_U32)
+    d2 = (party.mul(dx, dx) + party.mul(dy, dy)).astype(_U32)
     if compare == "yao":
         from . import yao
 
         grp = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
-        yrng = random.Random(3000 + role + (seed << 2))
+        yrng = _rng(seed, role, 3)
         if role == 0:
             return yao.yao_lt_evaluator(ch, d2, grp, yrng)
         return yao.yao_lt_garbler(ch, d2, int(thr_sq), grp, yrng)
@@ -155,7 +173,7 @@ def circle_predicate_2pc_networked(ch, role: int, my_x, my_y, thr_sq,
 
 def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
                                     group: ot.SchnorrGroup | None = None,
-                                    seed: int = 0,
+                                    seed: int | None = None,
                                     compare: str = "open") -> np.ndarray:
     """Point-in-convex-polygon between two real parties.
 
@@ -177,7 +195,7 @@ def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
         _send_u32(ch, np.array([n_edges], _U32))
     party = PartyArith.setup(ch, role, n_triples=2 * n_edges * B,
                              group=group, seed=seed)
-    rng = random.Random(2000 + role + (seed << 2))
+    rng = _rng(seed, role, 4)
     if role == 0:
         sxp = party.share_input(xp, rng)
         syp = party.share_input(yp, rng)
@@ -205,7 +223,7 @@ def polygon_predicate_2pc_networked(ch, role: int, edges=None, point=None,
         from . import yao
 
         grp = group or ot.SchnorrGroup.generate(pbits=512, qbits=160, seed=1)
-        yrng = random.Random(4000 + role + (seed << 2))
+        yrng = _rng(seed, role, 5)
         shares = np.stack(orients, axis=1)  # [B, E]
         if role == 0:
             far = yao.yao_any_negative_evaluator(ch, shares, grp, yrng)

@@ -186,7 +186,6 @@ def yao_lt_garbler(ch, share: np.ndarray, thr: int, group: ot.SchnorrGroup,
     Returns bool[B] (both parties learn the bit, as in ABY's ALL output)."""
     share = np.atleast_1d(np.asarray(share)).astype(np.uint64)
     B = len(share)
-    inst = []
     ot_pairs0, ot_pairs1 = [], []
     blob_tables = bytearray()
     blob_ginputs = bytearray()
@@ -198,7 +197,6 @@ def yao_lt_garbler(ch, share: np.ndarray, thr: int, group: ot.SchnorrGroup,
         t_w = [gb.wire() for _ in range(NBITS)]
         zero = gb.wire()
         out0 = _circuit(gb, e_w, g_w, t_w, zero)
-        inst.append((gb, e_w, out0))
         # Evaluator obtains e-labels by OT; garbler sends its own + thr +
         # zero labels in the clear (labels reveal nothing).
         for w in e_w:

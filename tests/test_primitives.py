@@ -157,3 +157,24 @@ def test_compressible_bloom_filter():
     khi = np.asarray(keys, np.uint64) >> 32
     got = bf.contains_u64_batch(klo.astype(np.uint32), khi.astype(np.uint32))
     assert bool(np.asarray(got).all())
+
+
+def test_compressible_bloom_serialize_roundtrip():
+    from pplp_tpu.primitives.bloom import BloomParameters, CompressibleBloomFilter
+
+    params = BloomParameters(
+        projected_element_count=300,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+    )
+    assert params.compute_optimal_parameters()
+    bf = CompressibleBloomFilter(params)
+    for k in range(50, 200):
+        bf.insert_u64(k)
+    assert bf.compress(40.0)
+    blob = bf.serialize()
+    assert len(blob) == bf.compute_serialization_size()
+    bf2 = CompressibleBloomFilter.deserialize(blob)
+    assert bf2.size_list == bf.size_list
+    assert all(bf2.contains_u64(k) for k in range(50, 200))
+    assert bf2 == bf
