@@ -10,6 +10,7 @@ plaintext NTT + Shoup precompute is shared across both ct components.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import ntt
 from .ciphertext import Ciphertext
@@ -17,7 +18,7 @@ from .context import BFVContext
 from .keys import _shoup
 from .plaintext import Plaintext
 
-__all__ = ["Evaluator"]
+__all__ = ["Evaluator", "mod_switch_to_next", "restrict_secret_key"]
 
 
 class Evaluator:
@@ -125,3 +126,67 @@ class Evaluator:
             prod = p.mulmod_shoup(c_ntt, m_ntt, m_shoup, q2)
             polys.append(ntt.inverse(prod, ctx.tables))
         return Ciphertext(tuple(polys), "coeff")
+
+
+def mod_switch_to_next(ctx: BFVContext, ct: Ciphertext):
+    """SEAL's Evaluator::mod_switch_to_next: drop the last RNS prime,
+    x -> round(x / q_last) per component (m31 chains).
+
+    BFV's invariant scaling Delta = q/t survives the divide-and-round (the
+    message term round(q m / t) / q_last ~ round(q' m / t)); noise grows by
+    ~||s||_1 from rounding. Returns (smaller context, switched ciphertext);
+    decrypt with the secret key restricted to the head limbs
+    (``restrict_secret_key``)."""
+    from ..ops.modmath import m31
+
+    tb = ctx.tables
+    if tb.profile != "m31":
+        raise NotImplementedError("mod_switch_to_next supports m31 chains")
+    L = ctx.L
+    assert L >= 2, "nothing left to switch"
+    q_last = ctx.moduli[-1].value
+    new_ctx = BFVContext.build(
+        ctx.parms.with_coeff_modulus(ctx.parms.coeff_modulus[:-1]),
+        engine=tb.engine,
+    )
+    ntb = new_ctx.tables
+    q2n = ntb.q_b(1)
+    mu = tuple(m[:, None] for m in ntb.mu)
+    inv = [pow(q_last, -1, m.value) for m in new_ctx.moduli]
+    inv_w = jnp.asarray(np.asarray(inv, np.uint32))[:, None]
+    inv_ws = jnp.asarray(
+        np.asarray(
+            [(v << 32) // m.value for v, m in zip(inv, new_ctx.moduli)], np.uint32
+        )
+    )[:, None]
+    ql_res = jnp.asarray(
+        np.asarray([q_last % m.value for m in new_ctx.moduli], np.uint32)
+    )[:, None]
+
+    def one_poly(poly):
+        last = poly[..., L - 1, :]
+        head = poly[..., : L - 1, :]
+        d = jnp.broadcast_to(last[..., None, :], head.shape)
+        d_red = m31.reduce64(d, jnp.zeros_like(d), ntb.q[:, None], mu[0], mu[1])
+        out = m31.sub(head, d_red, q2n)
+        high = jnp.broadcast_to(
+            (last > jnp.uint32(q_last // 2))[..., None, :], head.shape
+        )
+        out = jnp.where(
+            high, m31.add(out, jnp.broadcast_to(ql_res, out.shape), q2n), out
+        )
+        return m31.mulmod_shoup(out, inv_w, inv_ws, q2n)
+
+    assert ct.domain == "coeff"
+    return new_ctx, Ciphertext(tuple(one_poly(p) for p in ct.polys), "coeff")
+
+
+def restrict_secret_key(ctx_small: BFVContext, sk):
+    """Project a secret key onto a context with fewer (head) limbs."""
+    import jax
+
+    from .keys import SecretKey, _shoup
+
+    L = ctx_small.L
+    s = jax.tree.map(lambda a: a[..., :L, :], sk.s_ntt)
+    return SecretKey(s_ntt=s, s_shoup=_shoup(ctx_small, s))

@@ -124,3 +124,30 @@ def test_evaluator_multiply_add_many():
     spk = create_sp_relin_keys(ctx, kg, jax.random.key(9))
     prod = ev.relinearize(ev.multiply(cts[0], cts[1]), spk)
     assert int(dec.decrypt(prod).to_string() or "0", 16) == 11 * 22
+
+
+def test_bfv_mod_switch_to_next():
+    """mod_switch_to_next keeps the plaintext; smaller chain decrypts."""
+    import jax
+    from pplp_tpu.bfv import (
+        BFVContext, Decryptor, EncryptionParameters, Encryptor, KeyGenerator,
+        Plaintext,
+    )
+    from pplp_tpu.bfv.evaluator import mod_switch_to_next, restrict_secret_key
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 256, 1 << 16
+    chain = get_primes(28, 3, n)
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    kg = KeyGenerator(ctx, 8)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    ct = Encryptor(ctx, pk).encrypt(Plaintext(format(31337, "X")), jax.random.key(1))
+    ctx2, ct2 = mod_switch_to_next(ctx, ct)
+    assert ctx2.L == 2
+    sk2 = restrict_secret_key(ctx2, sk)
+    got = Decryptor(ctx2, sk2).decrypt(ct2)
+    assert int(got.to_string() or "0", 16) == 31337
+    # And once more down to a single prime.
+    ctx3, ct3 = mod_switch_to_next(ctx2, ct2)
+    got3 = Decryptor(ctx3, restrict_secret_key(ctx3, sk)).decrypt(ct3)
+    assert int(got3.to_string() or "0", 16) == 31337
