@@ -38,6 +38,15 @@ __all__ = [
 
 RADIUS_SWEEP = [16 << i for i in range(9)]  # 16..4096 (test_client.cc:52-69)
 
+
+def _radii(args):
+    """Reference sweep by default; PPLP_SWEEP_MAX_RADIUS trims it (CI/TPU
+    smoke runs: the r=4096 Bloom build inserts 16.7M keys)."""
+    import os
+
+    cap = int(os.environ.get("PPLP_SWEEP_MAX_RADIUS", "0"))
+    return [r for r in RADIUS_SWEEP if not cap or r <= cap]
+
 _ns = time.perf_counter_ns
 
 
@@ -233,7 +242,7 @@ def tc_main(args) -> int:
             ("leg", test_client_leg, parse2csv_client_leg, args.out_leg),
             ("opt", test_client_opt, parse2csv_client_opt, args.out_opt),
         ):
-            for i, radius in enumerate(RADIUS_SWEEP):
+            for i, radius in enumerate(_radii(args)):
                 t, d = fn(
                     chan, radius, args.xa, args.ya,
                     args.poly_modulus_degree, args.plain_modulus_bits,
@@ -256,7 +265,7 @@ def ts_main(args) -> int:
             ("leg", test_server_leg, parse2csv_server_leg, args.out_leg),
             ("opt", test_server_opt, parse2csv_server_opt, args.out_opt),
         ):
-            for i, radius in enumerate(RADIUS_SWEEP):
+            for i, radius in enumerate(_radii(args)):
                 d = fn(chan, radius, args.xb, args.yb, args.profile)
                 emit(fname, radius, i == 0, d)
                 print(f"ts {variant} radius={radius} total={d.d_total/1e9:.3f}s")
