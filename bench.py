@@ -64,8 +64,8 @@ def bench_multiply(n=4096, batch=256, iters=5):
     from pplp_tpu.bfv.keys import KeyGenerator
 
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
-    # Engine choice measured on v5e: "four" > "stage" > "four-pallas" for the
-    # full fused multiply graph (the pallas kernel wins only in isolation).
+    # Engine choice (A/B-measured on hardware, docs/benchmarks.md): "four"
+    # wins the full fused multiply graph; pallas kernels win only standalone.
     ctx = BFVContext.build(parms, engine="four")
     kg = KeyGenerator(ctx, 0)
     sk = kg.secret_key()

@@ -47,6 +47,22 @@ def _radii(args):
     cap = int(os.environ.get("PPLP_SWEEP_MAX_RADIUS", "0"))
     return [r for r in RADIUS_SWEEP if not cap or r <= cap]
 
+
+def _announce_radii(chan, radii):
+    """tc leads the sweep: the radius list crosses the wire once so both
+    sides always iterate the same sweep regardless of local env."""
+    import struct
+
+    chan.send_frame(struct.pack(f"<H{len(radii)}I", len(radii), *radii))
+
+
+def _recv_radii(chan):
+    import struct
+
+    buf = chan.recv_frame()
+    (n,) = struct.unpack_from("<H", buf, 0)
+    return list(struct.unpack_from(f"<{n}I", buf, 2))
+
 _ns = time.perf_counter_ns
 
 
@@ -238,11 +254,13 @@ def tc_main(args) -> int:
 
     chan = connect_to_server(args.host, args.port, ipv6=args.ipv6)
     try:
+        radii = _radii(args)
+        _announce_radii(chan, radii)
         for variant, fn, emit, fname in (
             ("leg", test_client_leg, parse2csv_client_leg, args.out_leg),
             ("opt", test_client_opt, parse2csv_client_opt, args.out_opt),
         ):
-            for i, radius in enumerate(_radii(args)):
+            for i, radius in enumerate(radii):
                 t, d = fn(
                     chan, radius, args.xa, args.ya,
                     args.poly_modulus_degree, args.plain_modulus_bits,
@@ -261,11 +279,12 @@ def ts_main(args) -> int:
 
     chan = connect_to_client(args.host, args.port, ipv6=args.ipv6)
     try:
+        radii = _recv_radii(chan)
         for variant, fn, emit, fname in (
             ("leg", test_server_leg, parse2csv_server_leg, args.out_leg),
             ("opt", test_server_opt, parse2csv_server_opt, args.out_opt),
         ):
-            for i, radius in enumerate(_radii(args)):
+            for i, radius in enumerate(radii):
                 d = fn(chan, radius, args.xb, args.yb, args.profile)
                 emit(fname, radius, i == 0, d)
                 print(f"ts {variant} radius={radius} total={d.d_total/1e9:.3f}s")

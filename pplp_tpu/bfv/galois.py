@@ -81,14 +81,21 @@ def create_galois_keys(ctx: BFVContext, sk, g: int, key) -> KSwitchKeys:
     return create_kswitch_keys(ctx, sk, target, key)
 
 
-def apply_galois(ctx: BFVContext, ct: Ciphertext, g: int, gk: KSwitchKeys) -> Ciphertext:
-    """sigma_g on a size-2 ciphertext, keyswitched back to s."""
+def apply_galois(ctx: BFVContext, ct: Ciphertext, g: int, gk) -> Ciphertext:
+    """sigma_g on a size-2 ciphertext, keyswitched back to s.
+
+    ``gk`` is either RNS-gadget KSwitchKeys or special-prime SPKeys."""
+    from .keyswitch import SPKeys, sp_keyswitch
+
     assert ct.size == 2 and ct.domain == "coeff"
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     c0g = apply_galois_plain(ctx, ct.polys[0], g)
     c1g = apply_galois_plain(ctx, ct.polys[1], g)
-    d0, d1 = keyswitch_contributions(ctx, c1g, gk)
+    if isinstance(gk, SPKeys):
+        d0, d1 = sp_keyswitch(ctx, spk=gk, poly=c1g)
+    else:
+        d0, d1 = keyswitch_contributions(ctx, c1g, gk)
     return Ciphertext((p.add(c0g, d0, q2), d1), "coeff")
 
 

@@ -83,17 +83,19 @@ def build_ctx_qp(ctx: BFVContext) -> tuple[BFVContext, int]:
     return BFVContext.build(parms_qp, engine=ctx.tables.engine), P
 
 
-def create_sp_kswitch_keys(ctx: BFVContext, keygen, target_ntt_qp, key) -> SPKeys:
+def create_sp_kswitch_keys(ctx: BFVContext, keygen, target_ntt_qp, key,
+                           qp: tuple[BFVContext, int] | None = None) -> SPKeys:
     """Keys toward an arbitrary target T given in NTT domain over QP.
 
     ``keygen`` is the KeyGenerator that produced the working secret key — the
     secret's ternary coefficients are resampled from its PRNG key so the key
-    extends to the P limb exactly.
-    """
+    extends to the P limb exactly. Pass ``qp`` = (ctx_qp, P) to reuse an
+    already-built extended context (callers that compute the target over QP
+    have one)."""
     from . import sampling
     from .keys import _shoup as sh
 
-    ctx_qp, P = build_ctx_qp(ctx)
+    ctx_qp, P = qp if qp is not None else build_ctx_qp(ctx)
     p = ctx_qp.prof
     tb = ctx_qp.tables
     q2 = tb.q_b(1)
@@ -153,13 +155,14 @@ def create_sp_relin_keys(ctx: BFVContext, keygen, key) -> SPKeys:
     """Relinearization keys: target T = s² over QP."""
     from . import sampling
 
-    ctx_qp, _ = build_ctx_qp(ctx)
+    qp = build_ctx_qp(ctx)
+    ctx_qp = qp[0]
     tb = ctx_qp.tables
     from .keys import _shoup as sh
 
     s_qp = ntt.forward(sampling.ternary_poly(keygen._key_s, ctx_qp), tb)
     s2 = ctx_qp.prof.mulmod_shoup(s_qp, s_qp, sh(ctx_qp, s_qp), tb.q_b(1))
-    return create_sp_kswitch_keys(ctx, keygen, s2, key)
+    return create_sp_kswitch_keys(ctx, keygen, s2, key, qp=qp)
 
 
 def sp_keyswitch(ctx: BFVContext, spk: SPKeys, poly):
@@ -227,23 +230,20 @@ def create_sp_galois_keys(ctx: BFVContext, keygen, g: int, key) -> SPKeys:
     from . import sampling
     from .galois import apply_galois_plain
 
-    ctx_qp, _ = build_ctx_qp(ctx)
+    qp = build_ctx_qp(ctx)
+    ctx_qp = qp[0]
     s_coeff_qp = sampling.ternary_poly(keygen._key_s, ctx_qp)
     target = ntt.forward(
         apply_galois_plain(ctx_qp, s_coeff_qp, g), ctx_qp.tables
     )
-    return create_sp_kswitch_keys(ctx, keygen, target, key)
+    return create_sp_kswitch_keys(ctx, keygen, target, key, qp=qp)
 
 
 def apply_galois_sp(ctx: BFVContext, ct: Ciphertext, g: int,
                     spk: SPKeys) -> Ciphertext:
-    """sigma_g + special-prime key switch back to s (low-noise rotations)."""
-    from .galois import apply_galois_plain
+    """sigma_g + special-prime key switch back to s (low-noise rotations).
 
-    assert ct.size == 2 and ct.domain == "coeff"
-    p = ctx.prof
-    q2 = ctx.tables.q_b(1)
-    c0g = apply_galois_plain(ctx, ct.polys[0], g)
-    c1g = apply_galois_plain(ctx, ct.polys[1], g)
-    d0, d1 = sp_keyswitch(ctx, spk, c1g)
-    return Ciphertext((p.add(c0g, d0, q2), d1), "coeff")
+    Thin alias: galois.apply_galois dispatches on the key type."""
+    from .galois import apply_galois
+
+    return apply_galois(ctx, ct, g, spk)

@@ -167,59 +167,19 @@ def ckks_rescale(
     rescaled ciphertext). ``current_scale`` defaults to ctx.scale**2 — the
     post-multiply case this exists for. m31 chains only.
     """
-    from ..ops.modmath import m31
+    from ..bfv.evaluator import mod_switch_to_next
 
-    base = ctx.base
-    tb = base.tables
-    if tb.profile != "m31":
-        raise NotImplementedError("ckks_rescale supports m31 chains")
-    L = base.L
-    assert L >= 2, "nothing left to rescale"
-    q_last = base.moduli[-1].value
-    new_base = BFVContext.build(
-        base.parms.with_coeff_modulus(base.parms.coeff_modulus[:-1]),
-        engine=tb.engine,
-    )
-    ntb = new_base.tables
-    q2n = ntb.q_b(1)
-    mu = tuple(m[:, None] for m in ntb.mu)
-    inv = [pow(q_last, -1, m.value) for m in new_base.moduli]
-    inv_w = jnp.asarray(np.asarray(inv, np.uint32))[:, None]
-    inv_ws = jnp.asarray(
-        np.asarray(
-            [(v << 32) // m.value for v, m in zip(inv, new_base.moduli)], np.uint32
-        )
-    )[:, None]
-    ql_res = jnp.asarray(
-        np.asarray([q_last % m.value for m in new_base.moduli], np.uint32)
-    )[:, None]
-
-    def one_poly(poly):
-        last = poly[..., L - 1, :]  # u32 [..., n], value in [0, q_last)
-        head = poly[..., : L - 1, :]
-        d = jnp.broadcast_to(last[..., None, :], head.shape)
-        d_red = m31.reduce64(d, jnp.zeros_like(d), ntb.q[:, None], mu[0], mu[1])
-        out = m31.sub(head, d_red, q2n)
-        # Centered digit: where last > q_last/2 the true digit is last-q_last,
-        # so add back q_last.
-        high = jnp.broadcast_to(
-            (last > jnp.uint32(q_last // 2))[..., None, :], head.shape
-        )
-        out = jnp.where(high, m31.add(out, jnp.broadcast_to(ql_res, out.shape), q2n), out)
-        return m31.mulmod_shoup(out, inv_w, inv_ws, q2n)
-
-    new_ct = Ciphertext(tuple(one_poly(p) for p in ct.polys), "coeff")
+    q_last = ctx.base.moduli[-1].value
+    new_base, new_ct = mod_switch_to_next(ctx.base, ct)
     scale = ctx.scale * ctx.scale if current_scale is None else current_scale
     return CKKSContext(base=new_base, scale=scale / q_last), new_ct
 
 
 def restrict_secret_key(ctx_small: CKKSContext, sk):
     """Project a secret key onto a rescaled (fewer-limb) context."""
-    from ..bfv.keys import SecretKey, _shoup
+    from ..bfv.evaluator import restrict_secret_key as _restrict
 
-    L = ctx_small.base.L
-    s = jax.tree.map(lambda a: a[..., :L, :], sk.s_ntt)
-    return SecretKey(s_ntt=s, s_shoup=_shoup(ctx_small.base, s))
+    return _restrict(ctx_small.base, sk)
 
 
 def ckks_decrypt(ctx: CKKSContext, sk, ct: Ciphertext) -> np.ndarray:

@@ -30,6 +30,12 @@ def twopc_main(args) -> int:
     )
 
     role = args.role
+    if args.circuit == "poly" and role == 0:
+        ax, ay = _parse_list(args.ax), _parse_list(args.ay)
+        if len(ax) < 3 or len(ax) != len(ay):
+            print("error: --circuit poly needs --ax/--ay with >= 3 "
+                  "matching vertices", file=sys.stderr)
+            return 2
     if role == 0:
         ch = connect_to_client("::" if args.ipv6 else "0.0.0.0", args.port,
                                ipv6=args.ipv6)
@@ -53,11 +59,6 @@ def twopc_main(args) -> int:
         )
     else:
         if role == 0:
-            ax, ay = _parse_list(args.ax), _parse_list(args.ay)
-            if len(ax) < 3 or len(ax) != len(ay):
-                print("error: --circuit poly needs --ax/--ay with >= 3 "
-                      "matching vertices", file=sys.stderr)
-                return 2
             edges = polygon_edge_coeffs(ax, ay)
             res = polygon_predicate_2pc_networked(
                 ch, 1, edges=edges, group=group, seed=seed,
