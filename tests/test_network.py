@@ -149,3 +149,16 @@ def test_malformed_frame_header_rejected():
         ch.recv_frame()
     a.close()
     b.close()
+
+
+def test_radius_negotiation_frame():
+    """tc announces the sweep; ts iterates exactly that list."""
+    from pplp_tpu.benchmark.sweep import _announce_radii, _recv_radii
+
+    ca, cb = channel_pair()
+    try:
+        _announce_radii(ca, [16, 32, 64])
+        assert _recv_radii(cb) == [16, 32, 64]
+    finally:
+        ca.close()
+        cb.close()
