@@ -32,13 +32,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax.experimental.shard_map import shard_map  # accepts check_rep
-except ImportError:  # removed in newer jax: the stable API validates itself
+try:  # stable API (jax >= 0.6); the experimental one warns/then disappears
     from jax import shard_map as _new_shard_map
 
     def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
         return _new_shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+except ImportError:
+    from jax.experimental.shard_map import shard_map  # accepts check_rep
 
 from ..ops import ntt4
 from ..ops.modmath import m31
