@@ -151,3 +151,29 @@ def test_bfv_mod_switch_to_next():
     ctx3, ct3 = mod_switch_to_next(ctx2, ct2)
     got3 = Decryptor(ctx3, restrict_secret_key(ctx3, sk)).decrypt(ct3)
     assert int(got3.to_string() or "0", 16) == 31337
+
+
+def test_bfv_mod_switch_to_next_m62():
+    """mod_switch_to_next on a SEAL-style wide chain (m62 residue pairs)."""
+    import jax
+    from pplp_tpu.bfv import (
+        BFVContext, Decryptor, EncryptionParameters, Encryptor, KeyGenerator,
+        Plaintext,
+    )
+    from pplp_tpu.bfv.evaluator import mod_switch_to_next, restrict_secret_key
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 256, 1 << 16
+    chain = get_primes(36, 3, n)
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    assert ctx.tables.profile == "m62"
+    kg = KeyGenerator(ctx, 21)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    ct = Encryptor(ctx, pk).encrypt(Plaintext(format(424242, "X")), jax.random.key(4))
+    ctx2, ct2 = mod_switch_to_next(ctx, ct)
+    assert ctx2.L == 2 and ctx2.tables.profile == "m62"
+    got = Decryptor(ctx2, restrict_secret_key(ctx2, sk)).decrypt(ct2)
+    assert int(got.to_string() or "0", 16) == 424242
+    ctx3, ct3 = mod_switch_to_next(ctx2, ct2)
+    got3 = Decryptor(ctx3, restrict_secret_key(ctx3, sk)).decrypt(ct3)
+    assert int(got3.to_string() or "0", 16) == 424242
