@@ -54,5 +54,6 @@ class Encryptor:
         return Ciphertext(polys=(c0, c1), domain="coeff")
 
     def encrypt(self, plain: Plaintext, key) -> Ciphertext:
+        plain.validate_for(self.ctx)
         m_lo, m_hi = plain.pair_u32(self.ctx.n)
         return self.encrypt_pairs(jnp.asarray(m_lo), jnp.asarray(m_hi), key)

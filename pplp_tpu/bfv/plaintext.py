@@ -71,6 +71,20 @@ class Plaintext:
             parts.append(h if i == 0 else f"{h}x^{i}")
         return " + ".join(parts)
 
+    def validate_for(self, ctx) -> None:
+        """SEAL parity: Encryptor::encrypt rejects plaintexts whose
+        coefficients are not reduced mod the plain modulus (is_valid_for,
+        used implicitly by every encrypt in /root/reference/src/demo.cc).
+        A silent mod-t wrap would decrypt to a different value than the
+        caller encoded — fail loudly instead."""
+        t = ctx.parms.plain_modulus
+        bad = [c for c in self.coeffs if not 0 <= c < t]
+        if bad:
+            raise ValueError(
+                f"plaintext coefficient {bad[0]:#x} is not reduced modulo "
+                f"the plain modulus t={t:#x}; reduce before encrypting"
+            )
+
     def pair_u32(self, n: int):
         """(lo, hi) uint32 arrays of length n (coeffs must be < 2^64)."""
         arr = np.zeros(n, dtype=np.uint64)

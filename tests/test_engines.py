@@ -163,7 +163,7 @@ def test_bfv_mod_switch_to_next_m62():
     from pplp_tpu.bfv.evaluator import mod_switch_to_next, restrict_secret_key
     from pplp_tpu.ops.primes import get_primes
 
-    n, t = 256, 1 << 16
+    n, t = 256, 1 << 20  # t must exceed the message: Encryptor rejects coeffs >= t
     chain = get_primes(36, 3, n)
     ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
     assert ctx.tables.profile == "m62"
@@ -177,3 +177,24 @@ def test_bfv_mod_switch_to_next_m62():
     ctx3, ct3 = mod_switch_to_next(ctx2, ct2)
     got3 = Decryptor(ctx3, restrict_secret_key(ctx3, sk)).decrypt(ct3)
     assert int(got3.to_string() or "0", 16) == 424242
+
+
+def test_encrypt_rejects_unreduced_plaintext():
+    """SEAL parity: Encryptor::encrypt throws when a plaintext coefficient is
+    not reduced mod t (SEAL's is_valid_for check). The round-1 m62 regression
+    was exactly this: encrypting 424242 under t=2^16 silently wrapped."""
+    import jax
+    import pytest
+    from pplp_tpu.bfv import (
+        BFVContext, EncryptionParameters, Encryptor, KeyGenerator, Plaintext,
+    )
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 64, 1 << 16
+    ctx = BFVContext.build(
+        EncryptionParameters.bfv(n, t, coeff_modulus=get_primes(28, 2, n))
+    )
+    kg = KeyGenerator(ctx, 5)
+    enc = Encryptor(ctx, kg.create_public_key())
+    with pytest.raises(ValueError, match="not reduced"):
+        enc.encrypt(Plaintext(format(1 << 16, "X")), jax.random.key(0))
