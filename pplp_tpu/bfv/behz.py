@@ -247,31 +247,38 @@ class RnsMultiplier:
 
         qm = q_values
         bq, bb = self.base_q, self.base_bsk
+        # Raw integer constants (also consumed by the fused Pallas kernel,
+        # behz_fused.py, which embeds them as compile-time literals).
+        self.mtilde_qhat_inv_ints = [
+            (M_TILDE * pow(q // qi, -1, qi)) % qi for qi in qm
+        ]
+        self.conv_q_to_mtilde_ints = [(q // qi) % M_TILDE for qi in qm]
+        self.inv_mtilde_bsk_ints = [pow(M_TILDE, -1, m.value) for m in bsk_moduli]
+        self.t_mod_q_ints = [t % qi for qi in qm]
+        self.t_mod_bsk_ints = [t % m.value for m in bsk_moduli]
+        self.inv_q_bsk_ints = [pow(q % m.value, -1, m.value) for m in bsk_moduli]
+        self.qhat_inv_ints = [pow(q // qi, -1, qi) for qi in qm]
+        self.inv_M_msk_int = pow(M % msk, -1, msk)
+        self.M_mod_q_ints = [M % qi for qi in qm]
         # --- Q -> B_sk u {m_tilde} conversion constants -------------------
-        self.mtilde_qhat_inv = bq.shoup_const(
-            [(M_TILDE * pow(q // qi, -1, qi)) % qi for qi in qm]
-        )
+        self.mtilde_qhat_inv = bq.shoup_const(self.mtilde_qhat_inv_ints)
         self.conv_q_to_bsk = _conv_ints(ctx.moduli, bsk_moduli)
-        self.conv_q_to_mtilde = _u32s([(q // qi) % M_TILDE for qi in qm])
+        self.conv_q_to_mtilde = _u32s(self.conv_q_to_mtilde_ints)
         self.neg_inv_q_mtilde = int(pow(-q, -1, M_TILDE))
         self.q_mod_bsk_ints = [q % m.value for m in bsk_moduli]
-        self.inv_mtilde_bsk = bb.shoup_const(
-            [pow(M_TILDE, -1, m.value) for m in bsk_moduli]
-        )
+        self.inv_mtilde_bsk = bb.shoup_const(self.inv_mtilde_bsk_ints)
         # --- fast floor constants ----------------------------------------
-        self.t_mod_q = bq.shoup_const([t % qi for qi in qm])
-        self.t_mod_bsk = bb.shoup_const([t % m.value for m in bsk_moduli])
-        self.inv_q_bsk = bb.shoup_const(
-            [pow(q % m.value, -1, m.value) for m in bsk_moduli]
-        )
-        self.qhat_inv = bq.shoup_const([pow(q // qi, -1, qi) for qi in qm])
+        self.t_mod_q = bq.shoup_const(self.t_mod_q_ints)
+        self.t_mod_bsk = bb.shoup_const(self.t_mod_bsk_ints)
+        self.inv_q_bsk = bb.shoup_const(self.inv_q_bsk_ints)
+        self.qhat_inv = bq.shoup_const(self.qhat_inv_ints)
         # --- B_sk -> Q (Shenoy-Kumaresan) constants -----------------------
         b_basis = bsk_moduli[:-1]
         self.bhat_inv_b = [pow(M // p.value, -1, p.value) for p in b_basis]
         self.conv_b_to_q = _conv_ints(b_basis, ctx.moduli)
         self.conv_b_to_msk = _conv_ints(b_basis, [Modulus(msk)])
-        self.inv_M_msk = self.base_msk.shoup_const([pow(M % msk, -1, msk)])
-        self.M_mod_q = bq.shoup_const([M % qi for qi in qm])
+        self.inv_M_msk = self.base_msk.shoup_const([self.inv_M_msk_int])
+        self.M_mod_q = bq.shoup_const(self.M_mod_q_ints)
         self.mskM_mod_q_ints = [(msk * M) % qi for qi in qm]
         self.msk_half = msk // 2
 

@@ -1,20 +1,25 @@
-"""Careful VPU op-cost measurements: chain K dependent ops over a fixed array
-so HBM traffic amortizes; slope of time vs K = per-op cost."""
-import time
+"""VPU op costs via chained-op slopes. The axon remote-compile tunnel keeps
+the dispatch path busy for a while after each fresh compile, so timeit
+settles (sleep) after warmup before timing."""
+import sys, time
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 def timeit(fn, *args, iters=30):
     out = fn(*args); jax.block_until_ready(out)
+    time.sleep(2.0)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+def p(*a):
+    print(*a); sys.stdout.flush()
 
 rng = np.random.default_rng(0)
 SH = (256, 3, 4096)
@@ -43,10 +48,6 @@ def shoup_chain(k):
         return a
     return jax.jit(f)
 
-for k in (1, 4, 16):
-    dt = timeit(shoup_chain(k), x)
-    print(f"shoup chain k={k}: {dt*1e6:.1f} us  -> {nel*k/dt/1e9:.1f} Gmulmod/s")
-
 def add_chain(k):
     def f(a):
         b = a
@@ -54,9 +55,6 @@ def add_chain(k):
             b = b + a
         return b
     return jax.jit(f)
-for k in (1, 16, 64):
-    dt = timeit(add_chain(k), x)
-    print(f"add chain k={k}: {dt*1e6:.1f} us -> {nel*k/dt/1e9:.1f} Gadd/s")
 
 def mullo_chain(k):
     def f(a):
@@ -65,9 +63,6 @@ def mullo_chain(k):
             b = b * a
         return b
     return jax.jit(f)
-for k in (16,):
-    dt = timeit(mullo_chain(k), x)
-    print(f"mullo chain k={k}: {dt*1e6:.1f} us -> {nel*k/dt/1e9:.1f} Gmul/s")
 
 def mulhi_chain(k):
     def f(a):
@@ -76,36 +71,19 @@ def mulhi_chain(k):
             b = mulhi(b, a)
         return b
     return jax.jit(f)
-for k in (8,):
-    dt = timeit(mulhi_chain(k), x)
-    print(f"mulhi chain k={k}: {dt*1e6:.1f} us -> {nel*k/dt/1e9:.1f} Gmulhi/s")
 
-# digit extract with GOOD layout: output (4, ...) leading axis
-def extract(a):
-    return jnp.stack([(a >> (8 * i)).astype(jnp.uint8) for i in range(4)], axis=0)
-dt = timeit(jax.jit(extract), x)
-print(f"extract 4 planes (leading axis): {dt*1e6:.1f} us -> {nel/dt/1e9:.1f} Gel/s")
-
-# i8 bitcast + xor trick
-def extract_signed(a):
-    return jnp.stack([((a >> (8 * i)).astype(jnp.uint8) ^ jnp.uint8(0x80)).astype(jnp.int8) for i in range(4)], axis=0)
-dt = timeit(jax.jit(extract_signed), x)
-print(f"extract 4 signed planes: {dt*1e6:.1f} us -> {nel/dt/1e9:.1f} Gel/s")
-
-# fold: 7 groups on LEADING axis, shoup consts
-g = jnp.asarray(rng.integers(0, 1 << 24, size=(7,) + SH, dtype=np.uint32))
-cs = [int(v) for v in rng.integers(1, Q, size=7)]
-css = [(c << 32) // Q for c in cs]
-def fold7(gg):
-    q = jnp.uint32(Q)
-    acc = None
-    for s in range(7):
-        w = jnp.uint32(cs[s]); ws = jnp.uint32(css[s])
-        hi = mulhi(gg[s], ws)
-        r = gg[s] * w - hi * q
-        acc = r if acc is None else acc + r
-        if s % 2 == 1:
-            acc = jnp.where(acc >= 2 * q, acc - 2 * q, acc)
-    return jnp.where(acc >= q, acc - q, jnp.where(acc >= 2*q, acc - 2*q, acc))
-dt = timeit(jax.jit(fold7), g)
-print(f"fold7 (leading groups): {dt*1e6:.1f} us -> {nel/dt/1e9:.2f} Gel(out)/s")
+jobs = [
+    ("add k=1", add_chain(1), 1),
+    ("add k=32", add_chain(32), 32),
+    ("mullo k=16", mullo_chain(16), 16),
+    ("mulhi k=8", mulhi_chain(8), 8),
+    ("shoup k=1", shoup_chain(1), 1),
+    ("shoup k=8", shoup_chain(8), 8),
+]
+# compile everything first, then measure
+for name, f, k in jobs:
+    jax.block_until_ready(f(x))
+time.sleep(3)
+for name, f, k in jobs:
+    dt = timeit(f, x)
+    p(f"{name}: {dt*1e6:.1f} us -> {nel*k/dt/1e9:.1f} Gop/s")

@@ -1,0 +1,67 @@
+"""Fused BEHZ multiply+relin kernel: bit-exact vs the op-by-op path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pplp_tpu.bfv import (
+    BFVContext,
+    Decryptor,
+    EncryptionParameters,
+    Encryptor,
+    KeyGenerator,
+    Plaintext,
+)
+from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+from pplp_tpu.bfv.behz_fused import FusedMultiplier
+from pplp_tpu.bfv.ciphertext import Ciphertext
+from pplp_tpu.ops.primes import get_primes
+
+N, T = 512, 1 << 16
+
+
+def _ctx():
+    parms = EncryptionParameters.bfv(
+        N, T, coeff_modulus=get_primes(28, 2, N) + get_primes(27, 1, N)
+    )
+    return BFVContext.build(parms, engine="vmem")
+
+
+def test_fused_matches_unfused_bitexact():
+    ctx = _ctx()
+    kg = KeyGenerator(ctx, 11)
+    sk = kg.secret_key()
+    rlk = create_relin_keys(ctx, sk, jax.random.key(3))
+    mul = RnsMultiplier(ctx)
+    fused = FusedMultiplier(ctx, rlk, tile_b=2)
+
+    rng = np.random.default_rng(5)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def ct(batch=4):
+        def poly():
+            v = rng.integers(0, 1 << 62, size=(batch, ctx.L, N)).astype(
+                np.uint64
+            ) % qs
+            return jnp.asarray(v.astype(np.uint32))
+
+        return Ciphertext((poly(), poly()), "coeff")
+
+    ct1, ct2 = ct(), ct()
+    want = relinearize(ctx, mul.multiply(ct1, ct2), rlk)
+    got = fused.multiply_relinearize(ct1, ct2)
+    for w, g in zip(want.polys, got.polys):
+        assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_fused_decrypts_product():
+    ctx = _ctx()
+    kg = KeyGenerator(ctx, 13)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    rlk = create_relin_keys(ctx, sk, jax.random.key(8))
+    fused = FusedMultiplier(ctx, rlk, tile_b=1)
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    ca = enc.encrypt(Plaintext(format(123, "X")), jax.random.key(21))
+    cb = enc.encrypt(Plaintext(format(456, "X")), jax.random.key(22))
+    out = fused.multiply_relinearize(ca, cb)
+    assert int(dec.decrypt(out).to_string(), 16) == 123 * 456
