@@ -1,5 +1,6 @@
 """Fused BEHZ multiply+relin kernel: bit-exact vs the op-by-op path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,8 @@ from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
 from pplp_tpu.bfv.behz_fused import FusedMultiplier
 from pplp_tpu.bfv.ciphertext import Ciphertext
 from pplp_tpu.ops.primes import get_primes
+
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
 
 N, T = 512, 1 << 16
 

@@ -127,6 +127,7 @@ def test_hex_plaintext_protocol_path():
     assert bd == (s_blind * (d2 + r_blind)) % t
 
 
+@pytest.mark.slow
 def test_batch_encoder_simd():
     # Prime t = 1 mod 2n: slot-wise add via evaluator add, slot-wise product
     # via ct-ct multiply (SEAL BatchEncoder capability).

@@ -1,5 +1,6 @@
 """CKKS encoder/encrypt/add/decrypt and the aggregation demo."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -12,6 +13,8 @@ from pplp_tpu.ckks import (
     ckks_encrypt,
     run_aggregation_demo,
 )
+
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
 
 N = 1024
 

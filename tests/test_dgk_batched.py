@@ -11,6 +11,8 @@ from pplp_tpu.dgk.batched import DGKBatch
 from pplp_tpu.dgk.dgk import dgk_random_num
 from pplp_tpu.dgk.modexp import MontgomeryCtx, exp_to_bits, from_digits, to_digits
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
+
 K, T, L = 512, 64, 12
 
 

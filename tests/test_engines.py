@@ -23,6 +23,8 @@ from pplp_tpu.bfv.serialize import (
 from pplp_tpu.ops import ntt, ntt_pallas
 from pplp_tpu.ops.primes import Modulus, get_primes
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
+
 N = 256
 T = 1 << 16
 

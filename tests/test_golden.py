@@ -12,6 +12,7 @@ Reference analogue: SEAL streams parms/pk/ct between the two parties
 own versioned spec, and these pins are its compatibility contract.
 """
 
+import pytest
 import hashlib
 
 import jax
@@ -71,6 +72,7 @@ def test_seeded_ciphertext_golden():
     assert digest(save_ciphertext(ct, ctx)) == CT_DIGEST
 
 
+@pytest.mark.slow
 def test_seeded_protocol_transcript_golden():
     # A fully seeded local run reproduces this exact blind distance (pinned,
     # not run-to-run compared): the end-to-end determinism hook SURVEY §4

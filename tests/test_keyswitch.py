@@ -29,6 +29,7 @@ def setup(seed=1):
     return ctx, kg.secret_key(), kg.create_public_key(), kg
 
 
+@pytest.mark.slow
 def test_sp_relinearize_scalar():
     ctx, sk, pk, kg = setup()
     enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)

@@ -16,6 +16,8 @@ from pplp_tpu.bfv import (
 from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
 from pplp_tpu.ops.primes import get_primes
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
+
 N = 256
 T = 1 << 16
 

@@ -45,6 +45,7 @@ def run_pair(client_fn, server_fn):
     return out
 
 
+@pytest.mark.slow
 def test_interactive_client_server_near_far():
     cfg_c = ProtocolConfig(
         xa=1234, ya=1212, radius=320,

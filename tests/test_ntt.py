@@ -40,7 +40,7 @@ def _naive_negacyclic(a_row, b_row, q):
     ([28, 27], 64),
     ([28, 27], 256),
     ([50, 50], 64),
-    ([36, 61], 128),
+    pytest.param([36, 61], 128, marks=pytest.mark.slow),
 ])
 def test_roundtrip_and_polymul(profile_bits, n):
     rng = np.random.default_rng(42)

@@ -9,6 +9,8 @@ from pplp_tpu.ops import ntt, ntt4
 from pplp_tpu.ops.modmath import m31
 from pplp_tpu.ops.primes import Modulus, get_primes
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
+
 
 def _setup(n, bits=(28, 27)):
     moduli = [Modulus(q) for b in sorted(set(bits))

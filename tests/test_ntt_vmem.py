@@ -60,6 +60,7 @@ def test_odd_batch_tile_fallback():
     assert (np.asarray(back) == np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_spectrum_order_is_internal_bijection():
     """forward_vmem output is a permutation of the true spectrum: pointwise
     multiply of like-ordered spectra must equal the negacyclic convolution

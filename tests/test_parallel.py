@@ -10,6 +10,8 @@ from pplp_tpu.bfv.keys import KeyGenerator
 from pplp_tpu.ops.primes import get_primes
 from pplp_tpu.parallel import build_batched_pipeline, ct_sharding, make_batch_inputs, make_mesh
 
+pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
+
 N = 256
 T = 1 << 20
 

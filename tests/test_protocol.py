@@ -43,6 +43,7 @@ def test_demo_verdicts_match_clear_oracle(xa, ya, xb, yb, radius, expect_near):
     assert res.blind_distance == (bl.s * (d2 + bl.r)) % cfg.plain_modulus
 
 
+@pytest.mark.slow
 def test_demo_seal_profile():
     cfg = ProtocolConfig(
         poly_modulus_degree_bits=12,

@@ -42,6 +42,7 @@ def test_device_decode_matches_host(t):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_device_decode_batched():
     t = 1 << 16
     chain = get_primes(28, 3, N)
