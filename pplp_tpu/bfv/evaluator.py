@@ -137,88 +137,18 @@ def mod_switch_to_next(ctx: BFVContext, ct: Ciphertext):
     ~||s||_1 from rounding. Returns (smaller context, switched ciphertext);
     decrypt with the secret key restricted to the head limbs
     (``restrict_secret_key``)."""
-    from ..ops.modmath import m31, m62
+    from .rescale import make_divide_round_last
 
-    tb = ctx.tables
     L = ctx.L
     assert L >= 2, "nothing left to switch"
     q_last = ctx.moduli[-1].value
     new_ctx = BFVContext.build(
         ctx.parms.with_coeff_modulus(ctx.parms.coeff_modulus[:-1]),
-        engine=tb.engine,
+        engine=ctx.tables.engine,
     )
-    ntb = new_ctx.tables
-    q2n = ntb.q_b(1)
-    inv = [pow(q_last, -1, m.value) for m in new_ctx.moduli]
-    ql_ints = [q_last % m.value for m in new_ctx.moduli]
-
-    if tb.profile == "m31":
-        mu = tuple(m[:, None] for m in ntb.mu)
-        inv_w = jnp.asarray(np.asarray(inv, np.uint32))[:, None]
-        inv_ws = jnp.asarray(
-            np.asarray(
-                [(v << 32) // m.value for v, m in zip(inv, new_ctx.moduli)],
-                np.uint32,
-            )
-        )[:, None]
-        ql_res = jnp.asarray(np.asarray(ql_ints, np.uint32))[:, None]
-
-        def one_poly(poly):
-            last = poly[..., L - 1, :]
-            head = poly[..., : L - 1, :]
-            d = jnp.broadcast_to(last[..., None, :], head.shape)
-            d_red = m31.reduce64(d, jnp.zeros_like(d), ntb.q[:, None], mu[0], mu[1])
-            out = m31.sub(head, d_red, q2n)
-            high = jnp.broadcast_to(
-                (last > jnp.uint32(q_last // 2))[..., None, :], head.shape
-            )
-            out = jnp.where(
-                high, m31.add(out, jnp.broadcast_to(ql_res, out.shape), q2n), out
-            )
-            return m31.mulmod_shoup(out, inv_w, inv_ws, q2n)
-
-    else:  # m62: residues are (lo, hi) u32 pairs
-        def col_pair(vals):
-            lo = jnp.asarray(
-                np.asarray([int(v) & 0xFFFFFFFF for v in vals], np.uint32)
-            )[:, None]
-            hi = jnp.asarray(np.asarray([int(v) >> 32 for v in vals], np.uint32))[
-                :, None
-            ]
-            return lo, hi
-
-        ratio = tuple(m[:, None] for m in ntb.mu)
-        inv_w = col_pair(inv)
-        inv_ws = col_pair(
-            [(v << 64) // m.value for v, m in zip(inv, new_ctx.moduli)]
-        )
-        ql_res = col_pair(ql_ints)
-        # q_last prime (odd): x > q_last//2  <=>  x >= q_last//2 + 1.
-        half1 = q_last // 2 + 1
-        half1_c = (jnp.uint32(half1 & 0xFFFFFFFF), jnp.uint32(half1 >> 32))
-
-        def one_poly(poly):
-            lo, hi = poly
-            last = (lo[..., L - 1, :], hi[..., L - 1, :])
-            head = (lo[..., : L - 1, :], hi[..., : L - 1, :])
-            d = tuple(
-                jnp.broadcast_to(a[..., None, :], h.shape)
-                for a, h in zip(last, head)
-            )
-            zero = jnp.zeros_like(d[0])
-            d_red = m62.reduce128((d[0], d[1], zero, zero), q2n, ratio)
-            out = m62.sub(head, d_red, q2n)
-            corr = m62.add(
-                out,
-                tuple(jnp.broadcast_to(c, o.shape) for c, o in zip(ql_res, out)),
-                q2n,
-            )
-            high = jnp.broadcast_to(
-                m62._geq(last, half1_c)[..., None, :], head[0].shape
-            )
-            out = tuple(jnp.where(high, c, o) for c, o in zip(corr, out))
-            return m62.mulmod_shoup(out, inv_w, inv_ws, q2n)
-
+    one_poly = make_divide_round_last(
+        new_ctx.tables, new_ctx.moduli, q_last, L
+    )
     assert ct.domain == "coeff"
     return new_ctx, Ciphertext(tuple(one_poly(p) for p in ct.polys), "coeff")
 

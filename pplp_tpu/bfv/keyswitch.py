@@ -52,6 +52,25 @@ def _u32col(vals):
     return jnp.asarray(np.asarray(vals, np.uint32))[:, None]
 
 
+def _pair_col(vals):
+    lo = _u32col([int(v) & 0xFFFFFFFF for v in vals])
+    hi = _u32col([int(v) >> 32 for v in vals])
+    return lo, hi
+
+
+def _shoup_col(vals, moduli, profile):
+    """Profile-packed per-limb constants with Shoup companions ([K, 1])."""
+    if profile == "m31":
+        return (
+            _u32col(vals),
+            _u32col([(int(v) << 32) // m.value for v, m in zip(vals, moduli)]),
+        )
+    return (
+        _pair_col(vals),
+        _pair_col([(int(v) << 64) // m.value for v, m in zip(vals, moduli)]),
+    )
+
+
 @dataclass
 class SPKeys:
     """Key-switch keys over QP toward a target secret T (s² for relin)."""
@@ -62,20 +81,18 @@ class SPKeys:
     k0_shoup: Any
     k1: Any
     k1_shoup: Any
-    # Scale-down constants over Q:
-    inv_P: Any           # [k, 1] (P^{-1} mod q_j, with Shoup companion)
-    inv_P_shoup: Any
-    P_mod_q: Any         # [k, 1]
-    P_half: int
 
 
 def build_ctx_qp(ctx: BFVContext) -> tuple[BFVContext, int]:
     """Extend Q with one special prime P (largest available NTT-friendly
-    prime below 2^30 not already in Q) and build a context over QP."""
-    if ctx.tables.profile != "m31":
-        raise NotImplementedError("special-prime key switching: m31 chains only")
+    prime of the chain's profile not already in Q); context over QP.
+
+    m31 chains extend with a <2^30 prime, m62 (SEAL-style) chains with a
+    61-bit prime — SEAL's convention of reserving the largest prime as the
+    key-switching modulus."""
+    bits = 30 if ctx.tables.profile == "m31" else 61
     used = {m.value for m in ctx.moduli}
-    pool = [p for p in get_primes(30, ctx.L + 4, ctx.n) if p not in used]
+    pool = [p for p in get_primes(bits, ctx.L + 4, ctx.n) if p not in used]
     P = max(pool)
     parms_qp = ctx.parms.with_coeff_modulus(
         tuple(m.value for m in ctx.moduli) + (P,)
@@ -115,10 +132,7 @@ def create_sp_kswitch_keys(ctx: BFVContext, keygen, target_ntt_qp, key,
         e_ntt = ntt.forward(sampling.cbd_poly(ke, ctx_qp), tb)
         b = p.neg(p.add(p.mulmod_shoup(a, s_qp, s_qp_sh, q2), e_ntt, q2), q2)
         gi = [Pmod[j] if j == i else 0 for j in range(K)]
-        gw = _u32col(gi)
-        gws = _u32col(
-            [(v << 32) // m.value for v, m in zip(gi, ctx_qp.moduli)]
-        )
+        gw, gws = _shoup_col(gi, ctx_qp.moduli, tb.profile)
         b = p.add(b, p.mulmod_shoup(target_ntt_qp, gw, gws, q2), q2)
         k0_rows.append(b)
         k1_rows.append(a)
@@ -136,18 +150,11 @@ def make_sp_keys(ctx: BFVContext, ctx_qp: BFVContext, P: int,
     row_shoup = lambda rows: jax.tree.map(
         lambda *xs: jnp.stack(xs), *[sh(ctx_qp, r) for r in rows]
     )
-    inv_P = [pow(P, -1, m.value) for m in ctx.moduli]
     return SPKeys(
         ctx_qp=ctx_qp,
         P=P,
         k0=stack(k0_rows), k0_shoup=row_shoup(k0_rows),
         k1=stack(k1_rows), k1_shoup=row_shoup(k1_rows),
-        inv_P=_u32col(inv_P),
-        inv_P_shoup=_u32col(
-            [(v << 32) // m.value for v, m in zip(inv_P, ctx.moduli)]
-        ),
-        P_mod_q=_u32col([P % m.value for m in ctx.moduli]),
-        P_half=P // 2,
     )
 
 
@@ -168,50 +175,52 @@ def create_sp_relin_keys(ctx: BFVContext, keygen, key) -> SPKeys:
 def sp_keyswitch(ctx: BFVContext, spk: SPKeys, poly):
     """poly (coeff domain over Q) -> (d0, d1) coeff domain over Q:
     round(poly·T / 1) contributions to (c0, c1)."""
+    from ..ops.modmath import m62
+    from .rescale import make_divide_round_last
+
     ctx_qp = spk.ctx_qp
     tb = ctx_qp.tables
     p = ctx_qp.prof
     q2 = tb.q_b(1)
     k, K = ctx.L, ctx_qp.L
-    q_col = tb.q[:, None]
-    mu_lo, mu_hi = (m[:, None] for m in tb.mu)
+
+    def lift(digit_slice, full_like):
+        """|digit|_{q_i} lifted into every QP limb (generic reduction)."""
+        if tb.profile == "m31":
+            d = jnp.broadcast_to(digit_slice, full_like.shape)
+            return m31.reduce64(
+                d, jnp.zeros_like(d), tb.q[:, None],
+                *(m[:, None] for m in tb.mu),
+            )
+        d = tuple(
+            jnp.broadcast_to(a, f.shape)
+            for a, f in zip(digit_slice, full_like)
+        )
+        zero = jnp.zeros_like(d[0])
+        ratio = tuple(m[:, None] for m in tb.mu)
+        return m62.reduce128((d[0], d[1], zero, zero), q2, ratio)
 
     acc0 = acc1 = None
     for i in range(k):
-        digit = poly[..., i : i + 1, :]
-        lifted = m31.reduce64(
-            jnp.broadcast_to(digit, poly.shape[:-2] + (K, poly.shape[-1])),
-            jnp.zeros(poly.shape[:-2] + (K, poly.shape[-1]), jnp.uint32),
-            q_col, mu_lo, mu_hi,
+        digit = jax.tree.map(lambda a: a[..., i : i + 1, :], poly)
+        full_like = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[..., :1, :], a.shape[:-2] + (K, a.shape[-1])
+            ),
+            poly,
         )
+        lifted = lift(digit, full_like)
         d_ntt = ntt.forward(lifted, tb)
-        t0 = p.mulmod_shoup(d_ntt, spk.k0[i], spk.k0_shoup[i], q2)
-        t1 = p.mulmod_shoup(d_ntt, spk.k1[i], spk.k1_shoup[i], q2)
+        row = lambda tree: jax.tree.map(lambda a: a[i], tree)
+        t0 = p.mulmod_shoup(d_ntt, row(spk.k0), row(spk.k0_shoup), q2)
+        t1 = p.mulmod_shoup(d_ntt, row(spk.k1), row(spk.k1_shoup), q2)
         acc0 = t0 if acc0 is None else p.add(acc0, t0, q2)
         acc1 = t1 if acc1 is None else p.add(acc1, t1, q2)
     inv0 = ntt.inverse(acc0, tb)
     inv1 = ntt.inverse(acc1, tb)
 
-    # Mod-switch QP -> Q: x -> round(x / P) (centered digit, like rescale).
-    ctxq = ctx
-    q2q = ctxq.tables.q_b(1)
-    qq = ctxq.tables.q[:, None]
-    muq = tuple(m[:, None] for m in ctxq.tables.mu)
-
-    def scale_down(x):
-        last = x[..., K - 1, :]
-        head = x[..., :k, :]
-        d = jnp.broadcast_to(last[..., None, :], head.shape)
-        d_red = m31.reduce64(d, jnp.zeros_like(d), qq, muq[0], muq[1])
-        out = m31.sub(head, d_red, q2q)
-        high = jnp.broadcast_to(
-            (last > jnp.uint32(spk.P_half))[..., None, :], head.shape
-        )
-        out = jnp.where(
-            high, m31.add(out, jnp.broadcast_to(spk.P_mod_q, out.shape), q2q), out
-        )
-        return m31.mulmod_shoup(out, spk.inv_P, spk.inv_P_shoup, q2q)
-
+    # Mod-switch QP -> Q: x -> round(x / P) (shared RNS divide-and-round).
+    scale_down = make_divide_round_last(ctx.tables, ctx.moduli, spk.P, K)
     return scale_down(inv0), scale_down(inv1)
 
 

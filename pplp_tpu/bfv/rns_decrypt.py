@@ -47,13 +47,12 @@ def _find_gamma(ctx: BFVContext) -> int:
 
 class RnsDecoder:
     def __init__(self, ctx: BFVContext):
-        if ctx.tables.profile != "m31":
-            raise NotImplementedError("device decode requires the m31 profile")
         if ctx.t >= 1 << 30:
             raise NotImplementedError(
                 "device decode supports t < 2^30; use the host path"
             )
         self.ctx = ctx
+        self.profile = ctx.tables.profile
         t = ctx.t
         q = ctx.q
         gamma = _find_gamma(ctx)
@@ -62,10 +61,20 @@ class RnsDecoder:
 
         # y multiplier per limb: |gamma * t * qhat_i^{-1}|_{q_i} (+ Shoup).
         vals = [(gamma * t * pow(q // qi, -1, qi)) % qi for qi in qm]
-        self.ymul = (
-            _u32s(vals)[:, None],
-            _u32s([(v << 32) // qi for v, qi in zip(vals, qm)])[:, None],
-        )
+        if self.profile == "m31":
+            self.ymul = (
+                _u32s(vals)[:, None],
+                _u32s([(v << 32) // qi for v, qi in zip(vals, qm)])[:, None],
+            )
+        else:
+            pair = lambda vs: (
+                _u32s([v & 0xFFFFFFFF for v in vs])[:, None],
+                _u32s([v >> 32 for v in vs])[:, None],
+            )
+            self.ymul = (
+                pair(vals),
+                pair([(v << 64) // qi for v, qi in zip(vals, qm)]),
+            )
         # Conversion constants folded with -q^{-1} per target.
         def conv_row(m):
             neg_qinv = pow(-q, -1, m)
@@ -84,23 +93,40 @@ class RnsDecoder:
         self.half_gamma = jnp.uint32(gamma // 2)
 
     def _accum_mod(self, y, conv, consts):
-        """sum_i y[..., i, :] * conv[i] mod m -> [..., n] (96-bit exact)."""
+        """sum_i y[..., i, :] * conv[i] mod m -> [..., n] (exact columns).
+
+        m31: 96-bit accumulation of u32 x u32 products. m62: 128-bit
+        accumulation of (lo, hi)-pair x u32 products (comba partials)."""
         mod, mu_lo, mu_hi = consts
-        z0 = z1 = z2 = None
+        if self.profile == "m31":
+            z0 = z1 = z2 = None
+            for i in range(self.ctx.L):
+                lo, hi = mm.mul32(y[..., i, :], conv[i])
+                if z0 is None:
+                    z0, z1, z2 = lo, hi, jnp.zeros_like(lo)
+                else:
+                    z0 = z0 + lo
+                    c0 = (z0 < lo).astype(jnp.uint32)
+                    z1n = z1 + hi
+                    c1 = (z1n < hi).astype(jnp.uint32)
+                    z1 = z1n + c0
+                    c1 = c1 + (z1 < z1n).astype(jnp.uint32)
+                    z2 = z2 + c1
+            r12 = mm.m31.reduce64(z1, z2, mod, mu_lo, mu_hi)
+            return mm.m31.reduce64(z0, r12, mod, mu_lo, mu_hi)
+        ylo, yhi = y
+        acc = None
         for i in range(self.ctx.L):
-            lo, hi = mm.mul32(y[..., i, :], conv[i])
-            if z0 is None:
-                z0, z1, z2 = lo, hi, jnp.zeros_like(lo)
-            else:
-                z0 = z0 + lo
-                c0 = (z0 < lo).astype(jnp.uint32)
-                z1n = z1 + hi
-                c1 = (z1n < hi).astype(jnp.uint32)
-                z1 = z1n + c0
-                c1 = c1 + (z1 < z1n).astype(jnp.uint32)
-                z2 = z2 + c1
-        r12 = mm.m31.reduce64(z1, z2, mod, mu_lo, mu_hi)
-        return mm.m31.reduce64(z0, r12, mod, mu_lo, mu_hi)
+            prod = mm.comba_mul(
+                [ylo[..., i, :], yhi[..., i, :]], [conv[i]], out_limbs=3
+            )
+            prod4 = prod + [jnp.zeros_like(prod[0])]
+            acc = prod4 if acc is None else mm.limbs_add(acc, prod4)
+        # value = z0 + z1 2^32 + z2 2^64 + z3 2^96, reduced mod m < 2^30 by
+        # folding limbs top-down through 64-bit Barrett steps.
+        v2 = mm.m31.reduce64(acc[2], acc[3], mod, mu_lo, mu_hi)
+        v1 = mm.m31.reduce64(acc[1], v2, mod, mu_lo, mu_hi)
+        return mm.m31.reduce64(acc[0], v1, mod, mu_lo, mu_hi)
 
     def decode_mod_t(self, x):
         """x: [..., L, n] residues of (c0 + c1 s) mod q -> m mod t [..., n]."""

@@ -155,3 +155,39 @@ def test_batch_encoder_simd():
     mul = RnsMultiplier(ctx)
     got_prod = be.decode(dec.decrypt(mul.multiply(ca, cb)))
     assert got_prod == [(x * y) % t for x, y in zip(a, b)]
+
+
+@pytest.mark.slow
+def test_batch_encoder_m62_chain():
+    """SIMD batching works on m62 (SEAL-style) ciphertext chains: the encoder
+    only needs prime t = 1 mod 2n; the chain profile is independent."""
+    import jax
+    from pplp_tpu.bfv.batch_encoder import BatchEncoder
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 256, 65537  # 2n | t-1
+    ctx = make_m62_ctx_for_batching(n, t)
+    enc_b = BatchEncoder(ctx)
+    kg = KeyGenerator(ctx, 71)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    vals = [(7 * i + 3) % t for i in range(n)]
+    pt = enc_b.encode(vals)
+    ct = enc.encrypt(pt, jax.random.key(72))
+    out = enc_b.decode(dec.decrypt(ct))
+    assert [int(v) for v in out] == vals
+
+
+def make_m62_ctx_for_batching(n, t):
+    from pplp_tpu.ops.primes import get_primes
+
+    chain = get_primes(36, 3, n)
+    return make_ctx_from_chain(n, t, chain)
+
+
+def make_ctx_from_chain(n, t, chain):
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    assert ctx.tables.profile == "m62"
+    return ctx
