@@ -3,12 +3,19 @@
 Headline metric (BASELINE.md north star): BFV ciphertext-ciphertext multiplies
 per second, n=4096, including relinearization, batched on one chip.
 
-vs_baseline is measured against a SEAL-4.1-class single-thread CPU
-multiply+relin at n=4096 (~4 ms => 250/s) — the engine the reference delegates
-all crypto to (SURVEY.md §6; the reference itself publishes no numbers).
+vs_baseline is measured against the DRIVER-SET north star's per-chip share:
+>=1e6 mult+relin/s on a 16-chip v5p => 62,500/s per chip (this bench runs on
+one v5e-class chip, so vs_baseline < 1 means short of the per-chip share of
+the v5p target). The reference itself publishes no numbers (SURVEY.md §6);
+its SEAL-4.1 single-thread CPU engine does ~250 mult+relin/s at n=4096.
 
-Secondary metric (printed to stderr for the record): batched NTT transforms/s
-at n=8192 over 3 RNS primes.
+Methodology: the bench chip is SHARED and its neighbor bursts for minutes at
+up to ~40x slowdown (measured round 2), so every metric takes the best of
+many short windows spread over tens of seconds and reports the median too.
+
+Secondary metrics (stderr): DGK batched comparisons (BASELINE config[2]),
+batched NTT transforms/s at n=8192, and the 100k-check proximity pipeline
+(config[3]).
 """
 
 from __future__ import annotations
@@ -19,92 +26,112 @@ import sys
 import time
 
 import jax
-
 import jax.numpy as jnp
 
 from pplp_tpu.ops import ntt
 from pplp_tpu.ops.primes import Modulus, get_primes
 
-BASELINE_TRANSFORMS_PER_S = 40_000.0
-BASELINE_MULTIPLIES_PER_S = 250.0
+# North-star share: 1e6 /s on v5p-16 => per-chip share.
+BASELINE_MULTIPLIES_PER_S = 1_000_000.0 / 16
+BASELINE_TRANSFORMS_PER_S = 40_000.0  # SEAL-class single-thread CPU estimate
 
 
-def bench_ntt(n=8192, n_limbs=3, batch=1024, iters=20):
+def timed_windows(fn, *args, windows=10, inner=3, gap_s=0.3):
+    """Best + median seconds/call over several spaced windows (contention)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
+        time.sleep(gap_s)
+    times.sort()
+    return times[0], times[len(times) // 2]
+
+
+def bench_ntt(n=8192, n_limbs=3, batch=1024):
     moduli = [Modulus(q) for q in get_primes(30, n_limbs, n)]
     tb = ntt.build_tables(moduli, n)
     q = tb.q[:, None]
-
     key = jax.random.key(0)
     bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
     x = bits % q  # mild bias irrelevant for benchmarking
-
     fwd = jax.jit(lambda v: ntt.forward(v, tb))
-    out = fwd(x)
-    jax.block_until_ready(out)  # compile + warmup
-
-    t0 = time.perf_counter
-    best = float("inf")
-    for _ in range(3):
-        start = t0()
-        y = x
-        for _ in range(iters):
-            y = fwd(y)
-        jax.block_until_ready(y)
-        best = min(best, (t0() - start) / iters)
-    transforms = batch * n_limbs
-    return transforms / best
+    best, med = timed_windows(fwd, x)
+    return batch * n_limbs / best, batch * n_limbs / med
 
 
-def bench_multiply(n=4096, batch=256, iters=5):
-    """Batched BFV multiply + relinearize at n=4096, tpu chain profile."""
+def _synthetic_cts(ctx, batch, n):
     import numpy as np
 
-    from pplp_tpu.bfv import BFVContext, EncryptionParameters
-    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
-    from pplp_tpu.bfv.keys import KeyGenerator
+    from pplp_tpu.bfv.ciphertext import Ciphertext
 
-    parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
-    # Engine choice (A/B-measured on hardware, docs/benchmarks.md): "four"
-    # wins the full fused multiply graph; pallas kernels win only standalone.
-    ctx = BFVContext.build(parms, engine="four")
-    kg = KeyGenerator(ctx, 0)
-    sk = kg.secret_key()
-    rlk = create_relin_keys(ctx, sk, jax.random.key(1))
-    mul = RnsMultiplier(ctx)
-
-    # Synthetic uniform residue ciphertexts: multiply cost is data-independent.
     rng = np.random.default_rng(0)
     qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
 
-    def ct_polys():
-        def poly():
-            v = rng.integers(0, 1 << 62, size=(batch, ctx.L, n)).astype(np.uint64) % qs
-            return jnp.asarray(v.astype(np.uint32))
+    def poly():
+        v = rng.integers(0, 1 << 62, size=(batch, ctx.L, n)).astype(np.uint64) % qs
+        return jnp.asarray(v.astype(np.uint32))
 
-        from pplp_tpu.bfv.ciphertext import Ciphertext
-
-        return Ciphertext((poly(), poly()), "coeff")
-
-    ct1, ct2 = ct_polys(), ct_polys()
-
-    @jax.jit
-    def mult_relin(a, b):
-        return relinearize(ctx, mul.multiply(a, b), rlk)
-
-    out = mult_relin(ct1, ct2)
-    jax.block_until_ready(out)
-
-    best = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
-        for _ in range(iters):
-            out = mult_relin(ct1, out)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - start) / iters)
-    return batch / best
+    return Ciphertext((poly(), poly()), "coeff"), Ciphertext((poly(), poly()), "coeff")
 
 
-def bench_proximity_pipeline(n=4096, rows=25, iters=5):
+def bench_multiply(n=4096, batch=256):
+    """Batched BFV multiply + relinearize, best of the two production paths:
+    the op-by-op XLA graph (engine 'four') and the fused VMEM Pallas kernel
+    (engine 'vmem', behz_fused)."""
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+    from pplp_tpu.bfv.behz_fused import FusedMultiplier
+    from pplp_tpu.bfv.keys import KeyGenerator
+
+    parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
+    results = {}
+
+    # Path A: op-by-op XLA graph.
+    ctx = BFVContext.build(parms, engine="four")
+    kg = KeyGenerator(ctx, 0)
+    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(1))
+    mul = RnsMultiplier(ctx)
+    ct1, ct2 = _synthetic_cts(ctx, batch, n)
+    mr = jax.jit(lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk))
+    best, med = timed_windows(mr, ct1, ct2, windows=8)
+    results["xla"] = (batch / best, batch / med)
+
+    # Path B: fused VMEM kernel.
+    try:
+        ctx_v = BFVContext.build(parms, engine="vmem")
+        kg_v = KeyGenerator(ctx_v, 0)
+        rlk_v = create_relin_keys(ctx_v, kg_v.secret_key(), jax.random.key(1))
+        fused = FusedMultiplier(ctx_v, rlk_v, tile_b=2)
+        ct1v, ct2v = _synthetic_cts(ctx_v, batch, n)
+        fr = lambda a, b: fused.multiply_relinearize(a, b).polys
+        best, med = timed_windows(fr, ct1v, ct2v, windows=8)
+        results["fused"] = (batch / best, batch / med)
+    except Exception as e:  # pragma: no cover - fused path is TPU-tuned
+        print(json.dumps({"fused_path_error": repr(e)[:200]}), file=sys.stderr)
+
+    winner = max(results, key=lambda k: results[k][0])
+    print(
+        json.dumps(
+            {
+                "multiply_paths": {
+                    k: {"best": round(v[0], 1), "median": round(v[1], 1)}
+                    for k, v in results.items()
+                },
+                "winner": winner,
+            }
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+    return results[winner][0]
+
+
+def bench_proximity_pipeline(n=4096, rows=25):
     """100k packed encrypted distance checks (BASELINE config[3]):
     rows x n coefficients, server homo eval + device BEHZ decode."""
     import numpy as np
@@ -126,22 +153,12 @@ def bench_proximity_pipeline(n=4096, rows=25, iters=5):
     xa = rng.integers(0, 1 << 20, total).astype(np.uint64)
     ya = rng.integers(0, 1 << 20, total).astype(np.uint64)
     args = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(1))
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best, _ = timed_windows(fn, *args, windows=8)
     return total, best
 
 
-def bench_dgk(batch=10000, k=2048, t=320, l=16, iters=2):
-    """10k-wide DGK homomorphic comparisons (BASELINE config[2]).
-
-    Gated behind PPLP_BENCH_DGK=1: keygen + scan compiles add minutes."""
+def bench_dgk(batch=10000, k=2048, t=320, l=16):
+    """10k-wide DGK homomorphic comparisons (BASELINE config[2])."""
     import random
 
     from pplp_tpu.dgk import dgk_gen_keys
@@ -157,14 +174,7 @@ def bench_dgk(batch=10000, k=2048, t=320, l=16, iters=2):
     f = jax.jit(
         lambda a, b, c: dbatch.blind_distance_batch(a, b, c, 123321, 123654, 37, cts, cts)
     )
-    out = f(cts, cts, cts)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = f(cts, cts, cts)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    best, _ = timed_windows(f, cts, cts, cts, windows=4, inner=1)
     return batch / best
 
 
@@ -191,12 +201,12 @@ def main():
                 "metric": "bfv_ct_mult_relin_per_s_n4096",
                 "value": round(value, 1),
                 "unit": "mults/s",
-                "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 2),
+                "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 3),
             }
         ),
         flush=True,
     )
-    if os.environ.get("PPLP_BENCH_DGK") == "1" and not over_budget("dgk"):
+    if not over_budget("dgk") and os.environ.get("PPLP_BENCH_DGK") != "0":
         rate = bench_dgk()
         print(
             json.dumps(
@@ -211,12 +221,13 @@ def main():
         )
     if over_budget("ntt"):
         return
-    ntt_rate = bench_ntt()
+    ntt_rate, ntt_med = bench_ntt()
     print(
         json.dumps(
             {
                 "metric": "ntt_transforms_per_s_n8192_3primes",
                 "value": round(ntt_rate, 1),
+                "median": round(ntt_med, 1),
                 "unit": "transforms/s",
                 "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
             }

@@ -230,12 +230,24 @@ class m31:
     def reduce64(lo, hi, q, mu_lo, mu_hi):
         """Reduce a 64-bit value (lo, hi) mod q via Barrett.
 
-        mu = floor(2^64/q) as u32 pair. Exact product (x * mu) is computed with
-        comba; est = floor(x*mu / 2^64) differs from floor(x/q) by < 2, so the
-        remainder is < 3q < 2^32 for q < 2^30 (two conditional subtracts).
+        mu = floor(2^64/q) as u32 pair. est = low limb of floor(x*mu / 2^64),
+        computed exactly from only the partial products that can reach bit 64
+        (~half the multiplies of a full 4-limb comba product):
+
+          floor(x*mu/2^64) = hi*mu_hi
+                             + carry(lo*mu_hi + hi*mu_lo + mulhi(lo, mu_lo))
+
+        est differs from floor(x/q) by < 2, so the remainder is < 3q < 2^32
+        for q < 2^30 (two conditional subtracts).
         """
-        prod = comba_mul([lo, hi], [mu_lo, mu_hi])  # 4 limbs
-        est = prod[2]  # low limb of floor(x*mu / 2^64); est*q only needs lo32
+        h1 = mulhi32(lo, mu_lo)
+        s_lo, s_hi = mul32(lo, mu_hi)
+        t_lo, t_hi = mul32(hi, mu_lo)
+        u = s_lo + t_lo
+        c = (u < t_lo).astype(jnp.uint32)
+        u2 = u + h1
+        c = c + (u2 < h1).astype(jnp.uint32)
+        est = hi * mu_hi + s_hi + t_hi + c
         r = lo - est * q
         r = m31.csub(r, q)
         return m31.csub(r, q)
