@@ -437,7 +437,10 @@ class KSwitchKeys:
 RelinKeys = KSwitchKeys  # relin keys are key-switch keys for T = s^2
 
 
-def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key) -> KSwitchKeys:
+def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key,
+                        inject=None) -> KSwitchKeys:
+    """``inject``: optional list of (a_coeff_res, e_coeff_res) per digit —
+    explicit randomness for known-answer vectors (tests/bfv_oracle.py)."""
     from . import sampling
     from .keys import _shoup as sh
 
@@ -446,9 +449,13 @@ def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key) -> KSwitchKeys:
     k = ctx.L
     k0_rows, k1_rows = [], []
     for i in range(k):
-        key, ka, ke = jax.random.split(key, 3)
-        a = sampling.uniform_rq(ka, ctx)
-        e_ntt = ntt.forward(sampling.cbd_poly(ke, ctx), ctx.tables)
+        if inject is not None:
+            a = ntt.forward(inject[i][0], ctx.tables)
+            e_ntt = ntt.forward(inject[i][1], ctx.tables)
+        else:
+            key, ka, ke = jax.random.split(key, 3)
+            a = sampling.uniform_rq(ka, ctx)
+            e_ntt = ntt.forward(sampling.cbd_poly(ke, ctx), ctx.tables)
         b = p.neg(p.add(p.mulmod_shoup(a, sk.s_ntt, sk.s_shoup, q2), e_ntt, q2), q2)
         # add g_i * T: only limb i gets the target secret.
         sel = jnp.zeros((k, 1), jnp.uint32).at[i, 0].set(1)
@@ -467,11 +474,11 @@ def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key) -> KSwitchKeys:
     )
 
 
-def create_relin_keys(ctx: BFVContext, sk, key) -> KSwitchKeys:
+def create_relin_keys(ctx: BFVContext, sk, key, inject=None) -> KSwitchKeys:
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
-    return create_kswitch_keys(ctx, sk, s2, key)
+    return create_kswitch_keys(ctx, sk, s2, key, inject=inject)
 
 
 def keyswitch_contributions(ctx: BFVContext, poly, keys: KSwitchKeys):
