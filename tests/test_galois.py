@@ -107,3 +107,34 @@ def test_negative_step(setup):
     gk = create_galois_keys(ctx, sk, g, jax.random.key(7))
     got = be.decode(dec.decrypt(apply_galois(ctx, ct, g, gk)))
     assert got[:half] == [half - 1] + list(range(half - 1))
+
+
+@pytest.mark.slow
+def test_rotate_rows_m62_chain():
+    """SIMD rotation on a SEAL-style m62 chain: batching + Galois keyswitch
+    complete the --profile seal evaluator surface (VERDICT r1 item 9)."""
+    import jax
+    from pplp_tpu.bfv import (
+        BFVContext, Decryptor, EncryptionParameters, Encryptor, KeyGenerator,
+    )
+    from pplp_tpu.bfv.batch_encoder import BatchEncoder
+    from pplp_tpu.bfv.galois import create_galois_keys, galois_elt_from_step, rotate_rows
+    from pplp_tpu.ops.primes import get_primes
+
+    n, t = 256, 65537
+    chain = get_primes(36, 3, n)
+    ctx = BFVContext.build(EncryptionParameters.bfv(n, t, coeff_modulus=chain))
+    assert ctx.tables.profile == "m62"
+    enc_b = BatchEncoder(ctx)
+    kg = KeyGenerator(ctx, 81)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    g = galois_elt_from_step(1, n)
+    gk = create_galois_keys(ctx, sk, g, jax.random.key(82))
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    vals = [(3 * i + 1) % t for i in range(n)]
+    ct = enc.encrypt(enc_b.encode(vals), jax.random.key(83))
+    rot = rotate_rows(ctx, ct, 1, gk)
+    out = [int(v) for v in enc_b.decode(dec.decrypt(rot))]
+    half = n // 2
+    want = vals[1:half] + vals[:1] + vals[half + 1:] + vals[half:half + 1]
+    assert out == want
