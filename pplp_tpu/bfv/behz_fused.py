@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import modmath as mm
 from ..ops.modmath import m31
 from ..ops.ntt4 import C2
-from ..ops.ntt_pallas import _interpret_default
+from ..ops.ntt_vmem import _interpret_default
 from ..ops.ntt_vmem import _bf_ct, _bf_gs, _vtables
 from .behz import M_TILDE, KSwitchKeys, RnsMultiplier
 from .ciphertext import Ciphertext

@@ -5,7 +5,7 @@ TPU vector lanes are 32-bit and there is no 64-bit integer multiplier, so every
 products are built from 16-bit digit partial products (comba multiplication).
 This module is pure ``jax.numpy`` — shape-polymorphic, jittable, vmappable —
 and is the reference semantics for the Pallas kernels in
-``pplp_tpu.ops.ntt_pallas``.
+``pplp_tpu.ops.ntt_vmem``.
 
 Two "profiles" are provided:
 

@@ -3,7 +3,7 @@
 Design (TPU-first, not a port of SEAL's scalar loops): every butterfly stage is
 one whole-array operation over the trailing coefficient axis reshaped to
 ``[..., L, h, 2, t]`` — XLA maps these onto full-width vector ops; the Pallas
-kernel variant (``ntt_pallas``) runs all log2(n) stages out of VMEM. Twiddles
+kernel variant (``ntt_vmem``) runs all stages out of VMEM. Twiddles
 are Harvey/Longa-Naehrig bit-reversed psi-power tables with Shoup precomputed
 companions, so an NTT multiply is 2 u32 multiplies + 1 mulhi on the m31
 profile.
@@ -60,7 +60,6 @@ class NttTables:
     engines use different-but-internally-consistent orderings):
       * "stage"       — whole-array butterfly sweeps (XLA, any profile)
       * "four"        — four-step decomposition (jnp, m31 only)
-      * "four-pallas" — four-step fused into one VMEM-resident Pallas kernel
       * "vmem"        — transpose-free fused Pallas kernel (step A along
                         sublanes, step C along lanes; fastest on real TPU)
     """
@@ -205,10 +204,6 @@ def forward(x, tb: NttTables):
         from . import ntt4
 
         return ntt4.forward4(x, tb.four_step)
-    if tb.engine == "four-pallas":
-        from . import ntt_pallas
-
-        return ntt_pallas.forward4_pallas(x, tb.four_step)
     if tb.engine == "vmem":
         from . import ntt_vmem
 
@@ -240,10 +235,6 @@ def inverse(x, tb: NttTables):
         from . import ntt4
 
         return ntt4.inverse4(x, tb.four_step)
-    if tb.engine == "four-pallas":
-        from . import ntt_pallas
-
-        return ntt_pallas.inverse4_pallas(x, tb.four_step)
     if tb.engine == "vmem":
         from . import ntt_vmem
 

@@ -12,7 +12,7 @@ Splits the length-n transform into n = C1 x C2 (C2 = vector lane width 128):
 Output order is an internal bijection (digit-transposed, bit-reversed per
 digit); ``inverse4`` mirrors it exactly, and pointwise products only ever pair
 like-ordered spectra. This file is the jnp reference semantics; the fused
-Pallas kernel in ``ntt_pallas.py`` runs the identical math out of VMEM.
+Pallas kernels (``ntt_vmem.py``, ``bfv/behz_fused.py``) reuse this math in VMEM.
 
 Cites: replaces the role of SEAL's ntt_negacyclic_harvey (see ntt.py) with a
 layout chosen for the 8x128 VPU rather than scalar butterflies.

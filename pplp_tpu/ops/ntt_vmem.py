@@ -10,9 +10,7 @@ HBM:
   step C  — length-128 cyclic GS butterflies along the *lane* axis
             (root psi^{2 c1}) — full lane utilization, no transpose.
 
-This fixes the two costs of the older ``ntt_pallas`` kernel: the in-kernel
-[c1, C2] transpose, and step C running with only c1 (<=32) of 128 lanes
-active. Butterflies use the roll-and-select formulation (the partner element
+Butterflies use the roll-and-select formulation (the partner element
 arrives by a circular roll; a precomputed parity mask picks u/v), which is the
 lane/sublane-friendly shape for Mosaic. All stages are Harvey-lazy ([0,4q) /
 [0,2q) residues); inputs and outputs are canonical.
@@ -40,7 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .modmath import m31
 from .ntt4 import C2, _LOG_C2, FourStepTables
-from .ntt_pallas import _interpret_default
+
+def _interpret_default() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("tpu", "axon")
+
 
 __all__ = ["VmemNttTables", "build_vmem_tables", "forward_vmem", "inverse_vmem"]
 

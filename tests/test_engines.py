@@ -20,7 +20,7 @@ from pplp_tpu.bfv.serialize import (
     save_public_key,
     save_secret_key,
 )
-from pplp_tpu.ops import ntt, ntt_pallas
+from pplp_tpu.ops import ntt
 from pplp_tpu.ops.primes import Modulus, get_primes
 
 pytestmark = pytest.mark.slow  # heavy module: excluded from the fast tier
@@ -61,27 +61,6 @@ def test_cross_engine_key_transfer():
     pt = Plaintext(format(42424, "X"))  # < t
     ct = enc_b.encrypt(pt, jax.random.key(4))
     assert int(dec_b.decrypt(ct).to_string(), 16) == 42424
-
-
-def test_pallas_engine_interpret_matches_four():
-    moduli = [Modulus(q) for q in get_primes(28, 2, 512)]
-    tb4 = ntt.build_tables(moduli, 512, engine="four").four_step
-    rng = np.random.default_rng(1)
-    import jax.numpy as jnp
-
-    qs = np.array([m.value for m in moduli], np.uint64)[None, :, None]
-    x = jnp.asarray(
-        (rng.integers(0, 1 << 62, size=(16, 2, 512)).astype(np.uint64) % qs).astype(
-            np.uint32
-        )
-    )
-    from pplp_tpu.ops import ntt4
-
-    ref = ntt4.forward4(x, tb4)
-    got = ntt_pallas.forward4_pallas(x, tb4)
-    assert (np.asarray(ref) == np.asarray(got)).all()
-    back = ntt_pallas.inverse4_pallas(got, tb4)
-    assert (np.asarray(back) == np.asarray(x)).all()
 
 
 def test_multiply_on_four_engine():
