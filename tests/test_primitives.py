@@ -1,5 +1,6 @@
 """Bloom filter + blinding tests: device batch paths vs exact host semantics."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -178,3 +179,30 @@ def test_compressible_bloom_serialize_roundtrip():
     assert bf2.size_list == bf.size_list
     assert all(bf2.contains_u64(k) for k in range(50, 200))
     assert bf2 == bf
+
+
+@pytest.mark.slow
+def test_large_radius_bf_regime():
+    """The r=2048 regime (4.2M inserts — the reference sweep's tail,
+    /root/reference/src/test/test_client.cc:52-69): device batch insert,
+    serialize, deserialize, and membership all hold at this scale."""
+    r = 2048
+    count = r * r  # 4,194,304 keys
+    bf = make_bf(count=count, fpp=1e-4)
+    rng = np.random.default_rng(7)
+    s, w, wlen = 0x9E3779B1, 0x5A5A, 16
+    di = np.arange(count, dtype=np.uint64)
+    keys = ((np.uint64(s) * (di + np.uint64(r))) << np.uint64(wlen)) | np.uint64(w)
+    klo = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    khi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+    bf.insert_u64_batch(klo, khi)
+    # spot membership on a sample + serialize roundtrip at full size
+    sample = rng.integers(0, count, size=2000)
+    got = np.asarray(bf.contains_u64_batch(klo[sample], khi[sample]))
+    assert got.all()
+    blob = bf.serialize()
+    bf2 = BloomFilter.deserialize(blob)
+    probe = rng.integers(0, count, size=200)
+    assert all(
+        bf2.contains_u64(int(keys[i])) for i in probe
+    )
