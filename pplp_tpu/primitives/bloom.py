@@ -275,12 +275,27 @@ class BloomFilter:
             h = _fmix32_vec(h)
         return h % jnp.uint32(self.table_size)
 
+    # Fixed chunk so the scatter kernel compiles ONCE for every radius of a
+    # sweep (r^2 inserts vary 16..4096^2): the last chunk is padded by
+    # REPEATING keys — an OR-scatter is idempotent, so padding is free.
+    _INSERT_CHUNK = 1 << 20
+
     def insert_u64_batch(self, klo, khi):
         """Insert u64 keys given as u32 (lo, hi) device arrays [K]."""
-        idx = self._idx_batch(klo, khi).ravel()
+        n = int(np.asarray(klo).shape[-1])
+        klo = jnp.ravel(jnp.asarray(klo))
+        khi = jnp.ravel(jnp.asarray(khi))
+        chunk = min(self._INSERT_CHUNK, 1 << max(4, (n - 1).bit_length()))
+        pad = (-n) % chunk
+        if pad:
+            klo = jnp.concatenate([klo, jnp.broadcast_to(klo[:1], (pad,))])
+            khi = jnp.concatenate([khi, jnp.broadcast_to(khi[:1], (pad,))])
         bits = self._bits_device()
-        self._device_bits = bits.at[idx].set(np.uint8(1))
-        self.inserted_element_count += int(np.asarray(klo).shape[-1])
+        for s in range(0, n + pad, chunk):
+            idx = self._idx_batch(klo[s : s + chunk], khi[s : s + chunk]).ravel()
+            bits = bits.at[idx].set(np.uint8(1))
+        self._device_bits = bits
+        self.inserted_element_count += n
         self._host_dirty = True
 
     def contains_u64_batch(self, klo, khi):
