@@ -12,9 +12,11 @@ batch insert path.
 
 from __future__ import annotations
 
+import functools
 import secrets
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.hexcodec import get_bitlen
@@ -82,20 +84,21 @@ def pack_key(bd: int, w: int, w_len: int) -> int:
     return ((int(bd) << w_len) | w) & _M64
 
 
-def blind_distance_keys(blinding: Blinding, sq_radius: int, chunk: int = 1 << 22):
-    """Yield (klo, khi) u32 device arrays for di in [0, sq_radius), chunked.
+@functools.lru_cache(maxsize=16)
+def _keys_chunk_fn(w_len: int, chunk: int):
+    """One jitted executable per (w_len, chunk): all per-radius variation
+    (s, w, r, start, limit) is traced scalars, so a whole radius sweep
+    dispatches through a single compile. This matters on remote-tunnel
+    backends where every eager op costs a compile round-trip."""
 
-    bd = s * (di + r) mod 2^64; key = (bd << w_len) | w.
-    """
-    s = jnp.uint32(blinding.s)
-    w = jnp.uint32(blinding.w)
-    w_len = blinding.w_len
-    r_lo = blinding.r & 0xFFFFFFFF
-    for start in range(0, sq_radius, chunk):
-        count = min(chunk, sq_radius - start)
-        di = jnp.arange(start, start + count, dtype=jnp.uint32)
+    @jax.jit
+    def run(s, w, r_lo, start, limit):
+        di = start + jnp.arange(chunk, dtype=jnp.uint32)
+        # Clamp the tail to the last valid di: the repeated key is already
+        # in the filter, and OR-scatter inserts are idempotent.
+        di = jnp.minimum(di, limit - jnp.uint32(1))
         # di + r as a 33-bit value (the reference adds in uint64).
-        add_lo = di + jnp.uint32(r_lo)
+        add_lo = di + r_lo
         add_hi = (add_lo < di).astype(jnp.uint32)
         # bd = s * (di + r) mod 2^64.
         from ..ops.modmath import mul32
@@ -104,8 +107,30 @@ def blind_distance_keys(blinding: Blinding, sq_radius: int, chunk: int = 1 << 22
         bd_hi = bd_hi + s * add_hi
         # key = (bd << w_len) | w.
         if w_len == 0:
-            klo, khi = bd_lo | w, bd_hi
-        else:
-            klo = (bd_lo << w_len) | w
-            khi = (bd_hi << w_len) | (bd_lo >> (32 - w_len))
-        yield klo, khi
+            return bd_lo | w, bd_hi
+        klo = (bd_lo << w_len) | w
+        khi = (bd_hi << w_len) | (bd_lo >> (32 - w_len))
+        return klo, khi
+
+    return run
+
+
+def blind_distance_keys(blinding: Blinding, sq_radius: int, chunk: int = 1 << 20):
+    """Yield (klo, khi, count) for di in [0, sq_radius), in fixed-size chunks.
+
+    bd = s * (di + r) mod 2^64; key = (bd << w_len) | w.
+
+    Arrays are u32 device arrays of a FIXED power-of-two size (the final
+    chunk is padded by clamping di — idempotent under BF insert); ``count``
+    is how many leading entries are fresh keys. Fixed shapes + traced
+    scalars mean one compiled executable covers every radius of a sweep.
+    """
+    chunk = min(chunk, 1 << max(4, (sq_radius - 1).bit_length()))
+    fn = _keys_chunk_fn(blinding.w_len, chunk)
+    s = jnp.uint32(blinding.s)
+    w = jnp.uint32(blinding.w)
+    r_lo = jnp.uint32(blinding.r & 0xFFFFFFFF)
+    limit = jnp.uint32(sq_radius)
+    for start in range(0, sq_radius, chunk):
+        klo, khi = fn(s, w, r_lo, jnp.uint32(start), limit)
+        yield klo, khi, min(chunk, sq_radius - start)

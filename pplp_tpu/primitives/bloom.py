@@ -15,6 +15,7 @@ are computed as vectorized u32 lane ops and scattered into a device bit table.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
 from dataclasses import dataclass, field
@@ -188,6 +189,92 @@ def _hash_ap_u64_vec(klo, khi, salts):
     return h ^ ((h << 7) ^ i1 * (h >> 3) ^ (~((h << 11) + (i2 ^ (h >> 5)))))
 
 
+def _indices(klo, khi, salts, table_size, mixed: bool):
+    h = _hash_ap_u64_vec(klo, khi, salts)
+    if mixed:
+        h = _fmix32_vec(h)
+    return h % table_size
+
+
+@functools.lru_cache(maxsize=64)
+def _insert_scan_fn(mixed: bool, nchunks: int, chunk: int):
+    """Jitted whole-batch insert: hash x salts -> index -> OR-scatter, with
+    the table size traced so every sweep radius reuses one executable (the
+    bit-table length still specializes the compile, once per radius)."""
+
+    def _one(bits, lo, hi, salts, ts):
+        idx = _indices(lo, hi, salts, ts, mixed).ravel()
+        return bits.at[idx].set(jnp.uint8(1))
+
+    @jax.jit
+    def run(bits, klo2, khi2, salts, ts):
+        if nchunks == 1:
+            return _one(bits, klo2[0], khi2[0], salts, ts)
+
+        def body(b, kc):
+            return _one(b, kc[0], kc[1], salts, ts), None
+
+        bits, _ = jax.lax.scan(body, bits, (klo2, khi2))
+        return bits
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _contains_fn(mixed: bool):
+    @jax.jit
+    def run(bits, klo, khi, salts, ts):
+        idx = _indices(klo, khi, salts, ts, mixed)
+        return jnp.all(bits[idx] != 0, axis=0)
+
+    return run
+
+
+def _chain_indices(klo, khi, salts, sizes, mixed: bool):
+    h = _hash_ap_u64_vec(klo, khi, salts)
+    if mixed:
+        h = _fmix32_vec(h)
+    for s in sizes:
+        h = h % jnp.uint32(s)
+    return h
+
+
+@functools.lru_cache(maxsize=16)
+def _chain_insert_fn(mixed: bool, sizes: tuple):
+    @jax.jit
+    def run(bits, klo, khi, salts):
+        idx = _chain_indices(klo, khi, salts, sizes, mixed).ravel()
+        return bits.at[idx].set(jnp.uint8(1))
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _chain_contains_fn(mixed: bool, sizes: tuple):
+    @jax.jit
+    def run(bits, klo, khi, salts):
+        idx = _chain_indices(klo, khi, salts, sizes, mixed)
+        return jnp.all(bits[idx] != 0, axis=0)
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _pack_bits_fn(m: int):
+    """Device-side little-endian packbits (matches np.packbits bitorder)."""
+    pad = (-m) % 8
+
+    @jax.jit
+    def run(bits):
+        if pad:
+            bits = jnp.concatenate([bits, jnp.zeros(pad, jnp.uint8)])
+        b = bits.reshape(-1, 8).astype(jnp.uint32)
+        weights = jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32)
+        return (b * weights).sum(axis=1).astype(jnp.uint8)
+
+    return run
+
+
 class BloomFilter:
     """Bit-compatible Bloom filter with device-batched hot paths."""
 
@@ -263,14 +350,23 @@ class BloomFilter:
 
     def _bits_device(self):
         if self._device_bits is None:
-            bits = np.unpackbits(self.bit_table, bitorder="little")
-            self._device_bits = jnp.asarray(bits)
+            if self.inserted_element_count == 0 and not self.bit_table.any():
+                # Fresh filter: build zeros ON device (at r=4096 the unpacked
+                # table is ~320 MB — never ship that through the host link).
+                self._device_bits = jnp.zeros(self.table_size, jnp.uint8)
+            else:
+                bits = np.unpackbits(self.bit_table, bitorder="little")
+                self._device_bits = jnp.asarray(bits)
         return self._device_bits
+
+    def _salts_device(self):
+        if getattr(self, "_salts_dev", None) is None:
+            self._salts_dev = jnp.asarray(self.salts)
+        return self._salts_dev
 
     def _idx_batch(self, klo, khi):
         assert self.table_size < (1 << 32), "device path needs u32 indices"
-        salts = jnp.asarray(self.salts)
-        h = _hash_ap_u64_vec(jnp.asarray(klo), jnp.asarray(khi), salts)
+        h = _hash_ap_u64_vec(jnp.asarray(klo), jnp.asarray(khi), self._salts_device())
         if self.index_mode == "mixed":
             h = _fmix32_vec(h)
         return h % jnp.uint32(self.table_size)
@@ -280,34 +376,54 @@ class BloomFilter:
     # REPEATING keys — an OR-scatter is idempotent, so padding is free.
     _INSERT_CHUNK = 1 << 20
 
-    def insert_u64_batch(self, klo, khi):
-        """Insert u64 keys given as u32 (lo, hi) device arrays [K]."""
-        n = int(np.asarray(klo).shape[-1])
+    def insert_u64_batch(self, klo, khi, count: int | None = None):
+        """Insert u64 keys given as u32 (lo, hi) device arrays [K].
+
+        ``count`` marks how many leading keys are fresh (the tail of a padded
+        chunk repeats valid keys — see ``blind_distance_keys``); it only
+        affects ``inserted_element_count``, never the bit table.
+
+        The whole pipeline (hash x salts, index, scatter) is ONE jitted call
+        per chunk with the table size traced, so a radius sweep re-dispatches
+        cached executables instead of recompiling eager ops per radius.
+        """
         klo = jnp.ravel(jnp.asarray(klo))
         khi = jnp.ravel(jnp.asarray(khi))
-        chunk = min(self._INSERT_CHUNK, 1 << max(4, (n - 1).bit_length()))
-        pad = (-n) % chunk
+        n = klo.shape[-1] if count is None else int(count)
+        size = klo.shape[-1]
+        chunk = min(self._INSERT_CHUNK, 1 << max(4, (size - 1).bit_length()))
+        pad = (-size) % chunk
         if pad:
             klo = jnp.concatenate([klo, jnp.broadcast_to(klo[:1], (pad,))])
             khi = jnp.concatenate([khi, jnp.broadcast_to(khi[:1], (pad,))])
-        bits = self._bits_device()
-        for s in range(0, n + pad, chunk):
-            idx = self._idx_batch(klo[s : s + chunk], khi[s : s + chunk]).ravel()
-            bits = bits.at[idx].set(np.uint8(1))
-        self._device_bits = bits
+        nchunks = (size + pad) // chunk
+        fn = _insert_scan_fn(self.index_mode == "mixed", nchunks, chunk)
+        self._device_bits = fn(
+            self._bits_device(),
+            klo.reshape(nchunks, chunk),
+            khi.reshape(nchunks, chunk),
+            self._salts_device(),
+            jnp.uint32(self.table_size),
+        )
         self.inserted_element_count += n
         self._host_dirty = True
 
     def contains_u64_batch(self, klo, khi):
         """Membership for a batch of u64 keys -> bool array [K]."""
-        idx = self._idx_batch(klo, khi)
-        bits = self._bits_device()
-        return jnp.all(bits[idx] != 0, axis=0)
+        fn = _contains_fn(self.index_mode == "mixed")
+        return fn(
+            self._bits_device(),
+            jnp.asarray(klo),
+            jnp.asarray(khi),
+            self._salts_device(),
+            jnp.uint32(self.table_size),
+        )
 
     def _sync_host(self):
         if self._device_bits is not None and getattr(self, "_host_dirty", False):
-            bits = np.asarray(jax.device_get(self._device_bits))
-            self.bit_table = np.packbits(bits, bitorder="little")
+            # Pack bits -> bytes ON device: 8x less host-link traffic.
+            packed = _pack_bits_fn(int(self._device_bits.shape[0]))(self._device_bits)
+            self.bit_table = np.asarray(jax.device_get(packed))
             self._host_dirty = False
 
     # -- set algebra (bloomfilter.h:410-444) ----------------------------
@@ -435,6 +551,29 @@ class CompressibleBloomFilter(BloomFilter):
         for s in self.size_list:
             h = h % jnp.uint32(s)
         return h
+
+    # The compressible variant indexes through the historical size chain, so
+    # the base class's single-mod jitted kernels don't apply; these chain
+    # versions are jit-cached per (index_mode, size chain). Not the 67M-insert
+    # hot path, so no chunking.
+
+    def insert_u64_batch(self, klo, khi, count: int | None = None):
+        klo = jnp.ravel(jnp.asarray(klo))
+        khi = jnp.ravel(jnp.asarray(khi))
+        n = klo.shape[-1] if count is None else int(count)
+        fn = _chain_insert_fn(self.index_mode == "mixed", tuple(self.size_list))
+        self._device_bits = fn(self._bits_device(), klo, khi, self._salts_device())
+        self.inserted_element_count += n
+        self._host_dirty = True
+
+    def contains_u64_batch(self, klo, khi):
+        fn = _chain_contains_fn(self.index_mode == "mixed", tuple(self.size_list))
+        return fn(
+            self._bits_device(),
+            jnp.asarray(klo),
+            jnp.asarray(khi),
+            self._salts_device(),
+        )
 
     def serialize(self) -> bytes:
         """Base wire format ‖ u16 size-chain length ‖ u64 sizes."""

@@ -159,8 +159,8 @@ class ProximityServer:
         )
         assert p.compute_optimal_parameters()
         self.bf = BloomFilter(p)
-        for klo, khi in blind_distance_keys(self.blinding, cfg.sq_radius):
-            self.bf.insert_u64_batch(klo, khi)
+        for klo, khi, count in blind_distance_keys(self.blinding, cfg.sq_radius):
+            self.bf.insert_u64_batch(klo, khi, count=count)
 
     def bf_message(self) -> bytes:
         return struct.pack("<Q", self.blinding.w) + self.bf.serialize()

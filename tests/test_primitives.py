@@ -96,9 +96,9 @@ def test_blind_distance_keys_match_reference_loop():
     bl = Blinding.deterministic(99)
     sq_radius = 10000
     got_lo, got_hi = [], []
-    for klo, khi in blind_distance_keys(bl, sq_radius, chunk=4096):
-        got_lo.append(np.asarray(klo))
-        got_hi.append(np.asarray(khi))
+    for klo, khi, count in blind_distance_keys(bl, sq_radius, chunk=4096):
+        got_lo.append(np.asarray(klo)[:count])
+        got_hi.append(np.asarray(khi)[:count])
     got = np.concatenate(got_lo).astype(np.uint64) | (
         np.concatenate(got_hi).astype(np.uint64) << np.uint64(32)
     )
@@ -119,8 +119,8 @@ def test_end_to_end_proximity_membership():
     )
     p.compute_optimal_parameters()
     bf = BloomFilter(p)
-    for klo, khi in blind_distance_keys(bl, sq):
-        bf.insert_u64_batch(klo, khi)
+    for klo, khi, count in blind_distance_keys(bl, sq):
+        bf.insert_u64_batch(klo, khi, count=count)
     for d2 in [0, 1, sq - 1]:
         bd = (bl.s * (d2 + bl.r)) & ((1 << 64) - 1)
         assert bf.contains_u64(pack_key(bd, bl.w, bl.w_len))
