@@ -30,26 +30,13 @@ import jax.numpy as jnp
 
 from pplp_tpu.ops import ntt
 from pplp_tpu.ops.primes import Modulus, get_primes
+from pplp_tpu.utils.chipstate import enable_compile_cache, timed_windows
+
+enable_compile_cache()
 
 # North-star share: 1e6 /s on v5p-16 => per-chip share.
 BASELINE_MULTIPLIES_PER_S = 1_000_000.0 / 16
 BASELINE_TRANSFORMS_PER_S = 40_000.0  # SEAL-class single-thread CPU estimate
-
-
-def timed_windows(fn, *args, windows=10, inner=3, gap_s=0.3):
-    """Best + median seconds/call over several spaced windows (contention)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(inner):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / inner)
-        time.sleep(gap_s)
-    times.sort()
-    return times[0], times[len(times) // 2]
 
 
 def bench_ntt(n=8192, n_limbs=3, batch=1024):

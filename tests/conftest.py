@@ -18,3 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from pplp_tpu.utils.chipstate import enable_compile_cache  # noqa: E402
+
+# Persistent compile cache: repeated suite runs skip recompiles.
+enable_compile_cache()
