@@ -35,8 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import modmath as mm
 from ..ops.modmath import m31
 from ..ops.ntt4 import C2
-from ..ops.ntt_vmem import _interpret_default
-from ..ops.ntt_vmem import _bf_ct, _bf_gs, _vtables
+from ..ops.ntt_vmem import _interpret_default, _ntt_form
+from ..ops.ntt_vmem import (
+    _bf_ct, _bf_ct_split, _bf_ct_z, _bf_gs, _bf_gs_split, _bf_gs_z,
+    _expand_q, _vtables,
+)
 from .behz import M_TILDE, KSwitchKeys, RnsMultiplier
 from .ciphertext import Ciphertext
 from .context import BFVContext
@@ -84,8 +87,29 @@ def _build_const_arrays(mul: RnsMultiplier) -> dict[str, np.ndarray]:
     d["q_msk"] = _col([msk.value])
     d["mu_msk_lo"] = _col([msk.mu64 & 0xFFFFFFFF])
     d["mu_msk_hi"] = _col([msk.mu64 >> 32])
+    def conv_shoup(conv, mods):
+        """[D][S] table -> ([S,D,1,1] consts, [S,D,1,1] Shoup per q_d)."""
+        S, D = len(conv[0]), len(conv)
+        w = np.zeros((S, D, 1, 1), np.uint32)
+        ws = np.zeros((S, D, 1, 1), np.uint32)
+        for dd in range(D):
+            qd = mods[dd].value
+            for s in range(S):
+                c = int(conv[dd][s]) % qd
+                w[s, dd, 0, 0] = c
+                ws[s, dd, 0, 0] = (c << 32) // qd
+        return w, ws
+
     d["mqh_w"], d["mqh_ws"] = shoup(mul.mtilde_qhat_inv_ints, qmods)
     d["conv_q_to_bsk"] = _conv_arr(mul.conv_q_to_bsk)
+    d["cqb_w"], d["cqb_ws"] = conv_shoup(mul.conv_q_to_bsk, bmods)
+    d["cqbp_w"], d["cqbp_ws"] = conv_shoup(
+        [list(r) for r in mul.conv_q_to_bsk_plain()], bmods
+    )
+    d["cbq_w"], d["cbq_ws"] = conv_shoup(mul.conv_b_to_q, qmods)
+    d["cbm_w"], d["cbm_ws"] = conv_shoup(
+        mul.conv_b_to_msk, mul.base_msk.moduli
+    )
     d["q_mod_bsk"] = _col(mul.q_mod_bsk_ints)
     d["imt_w"], d["imt_ws"] = shoup(mul.inv_mtilde_bsk_ints, bmods)
     d["tq_w"], d["tq_ws"] = shoup(mul.t_mod_q_ints, qmods)
@@ -113,6 +137,16 @@ def _build_const_arrays(mul: RnsMultiplier) -> dict[str, np.ndarray]:
 def _ntt_fwd(x, tabs, q, c1, logc1):
     """Forward vmem-order NTT over the limb axis; canonical in, lazy (<2q) out."""
     aw, aws, cw, cws, amf, cmf, twm, twms = tabs
+    if _ntt_form() == "v2":
+        qx = _expand_q(q)
+        for s in range(logc1):
+            t = c1 >> (s + 1)
+            x = _bf_ct_split(x, aw[:, s], aws[:, s], t, qx, c1)
+        x = m31.mulmod_shoup_lazy(x, twm, twms, q)
+        for s in range(7):
+            t = C2 >> (s + 1)
+            x = _bf_gs_z(x, cw[:, s], cws[:, s], cmf[s], t, q, C2, 3)
+        return x  # [0, 2q)
     for s in range(logc1):
         t = c1 >> (s + 1)
         x = _bf_ct(x, aw[:, s], aws[:, s], amf[s], t, q, c1, 2)
@@ -125,7 +159,17 @@ def _ntt_fwd(x, tabs, q, c1, logc1):
 
 def _ntt_inv(x, tabs, q, c1, logc1):
     """Inverse (consumes _ntt_fwd order); any <4q in, canonical out."""
-    iaw, iaws, icw, icws, ami, cmi, itwm, itwms = tabs
+    iaw, iaws, icw, icws, ami, cmi, itwm, itwms, icwz, icwzs = tabs
+    if _ntt_form() == "v2":
+        qx = _expand_q(q)
+        for s in range(7):
+            t = 1 << s
+            x = _bf_ct_z(x, icwz[:, s], icwzs[:, s], cmi[s], t, q, C2, 3)
+        x = m31.mulmod_shoup_lazy(x, itwm, itwms, q)
+        for s in range(logc1):
+            t = 1 << s
+            x = _bf_gs_split(x, iaw[:, s], iaws[:, s], t, qx, c1)
+        return m31.csub(x, q)
     for s in range(7):
         t = 1 << s
         x = _bf_ct(x, icw[:, s], icws[:, s], cmi[s], t, q, C2, 3)
@@ -136,9 +180,42 @@ def _ntt_inv(x, tabs, q, c1, logc1):
     return m31.csub(x, q)
 
 
+def _conv_form() -> str:
+    import os
+
+    return os.environ.get("PPLP_CONV_FORM", "shoup")
+
+
 def _reduce96(z0, z1, z2, q, mu_lo, mu_hi):
     r12 = m31.reduce64(z1, z2, q, mu_lo, mu_hi)
     return m31.reduce64(z0, r12, q, mu_lo, mu_hi)
+
+
+def _reduce32u(x, q, mu_hi):
+    """x < 2^31 -> canonical mod q via one Barrett step.
+
+    mu_hi = floor(2^32 / q) (the high u32 limb of floor(2^64/q));
+    remainder after the estimate is < 2.5q, so two csubs canonicalize."""
+    est = mm.mulhi32(x, mu_hi)
+    r = x - est * q
+    r = m31.csub(r, q)
+    return m31.csub(r, q)
+
+
+def _accum_shoup(y, w, ws, qd, mu_hi):
+    """Fast base conversion sum_s y[:, s] * c[s, d] mod q_d via lazy Shoup.
+
+    y: [T, S, c1, C2]; w/ws: [S, D, 1, 1] conv constants (+ Shoup, per
+    target modulus); qd/mu_hi: [D, 1, 1]. Returns [T, D, c1, C2].
+    Each lazy product is < 2q_d; the S-term sum stays < 2^31 for S <= 32,
+    one Barrett step canonicalizes. ~2x fewer vector ops than the 96-bit
+    column accumulation (_accum96) for the S<=6 bases BEHZ uses."""
+    S = w.shape[0]
+    acc = None
+    for i in range(S):
+        term = m31.mulmod_shoup_lazy(y[:, i : i + 1], w[i], ws[i], qd)
+        acc = term if acc is None else acc + term
+    return _reduce32u(acc, qd, mu_hi)
 
 
 def _accum96(y, conv_arr, qd, mu_lo, mu_hi):
@@ -170,7 +247,10 @@ def _to_bsk(x_q, kc, mt_ints):
     Mirrors RnsMultiplier._to_bsk (same constants, limb axis at -3)."""
     conv_q_to_mtilde, neg_inv_q_mtilde = mt_ints
     y = m31.mulmod_shoup(x_q, kc.mqh_w, kc.mqh_ws, kc.qq)
-    x_bsk = _accum96(y, kc.conv_q_to_bsk, kc.qb, kc.mu_b_lo, kc.mu_b_hi)
+    if _conv_form() == "shoup":
+        x_bsk = _accum_shoup(y, kc.cqb_w, kc.cqb_ws, kc.qb, kc.mu_b_hi)
+    else:
+        x_bsk = _accum96(y, kc.conv_q_to_bsk, kc.qb, kc.mu_b_lo, kc.mu_b_hi)
     mask = jnp.uint32(M_TILDE - 1)
     acc = None
     for i, cmt in enumerate(conv_q_to_mtilde):
@@ -187,7 +267,11 @@ def _fast_floor(e_q, e_b, kc):
     te_q = m31.mulmod_shoup(e_q, kc.tq_w, kc.tq_ws, kc.qq)
     te_b = m31.mulmod_shoup(e_b, kc.tb_w, kc.tb_ws, kc.qb)
     y = m31.mulmod_shoup(te_q, kc.qhi_w, kc.qhi_ws, kc.qq)
-    conv = _accum96(y, kc.conv_q_to_bsk_plain, kc.qb, kc.mu_b_lo, kc.mu_b_hi)
+    if _conv_form() == "shoup":
+        conv = _accum_shoup(y, kc.cqbp_w, kc.cqbp_ws, kc.qb, kc.mu_b_hi)
+    else:
+        conv = _accum96(y, kc.conv_q_to_bsk_plain, kc.qb, kc.mu_b_lo,
+                        kc.mu_b_hi)
     return m31.mulmod_shoup(
         m31.sub(te_b, conv, kc.qb), kc.iqb_w, kc.iqb_ws, kc.qb
     )
@@ -197,10 +281,16 @@ def _sk_to_q(w_bsk, kc, l, msk_half):
     w_b = w_bsk[:, :l]
     w_msk = w_bsk[:, l : l + 1]
     y = m31.mulmod_shoup(w_b, kc.bhat_w, kc.bhat_ws, kc.qb_b)
-    conv_q = _accum96(y, kc.conv_b_to_q, kc.qq, kc.mu_q_lo, kc.mu_q_hi)
-    conv_msk = _accum96(
-        y, kc.conv_b_to_msk, kc.q_msk, kc.mu_msk_lo, kc.mu_msk_hi
-    )
+    if _conv_form() == "shoup":
+        conv_q = _accum_shoup(y, kc.cbq_w, kc.cbq_ws, kc.qq, kc.mu_q_hi)
+        conv_msk = _accum_shoup(
+            y, kc.cbm_w, kc.cbm_ws, kc.q_msk, kc.mu_msk_hi
+        )
+    else:
+        conv_q = _accum96(y, kc.conv_b_to_q, kc.qq, kc.mu_q_lo, kc.mu_q_hi)
+        conv_msk = _accum96(
+            y, kc.conv_b_to_msk, kc.q_msk, kc.mu_msk_lo, kc.mu_msk_hi
+        )
     diff = m31.sub(conv_msk, w_msk, kc.q_msk)
     alpha = m31.mulmod_shoup(diff, kc.imm_w, kc.imm_ws, kc.q_msk)
     am = m31.mulmod_shoup(
@@ -221,7 +311,7 @@ def _karatsuba(a0, a1, b0, b1, q, mu_lo, mu_hi):
     return e0, e1, e2
 
 
-_N_TABS = 32  # twiddle-table refs preceding the const refs in the arg list
+_N_TABS = 36  # twiddle-table refs preceding the const refs in the arg list
 
 
 def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
@@ -230,7 +320,8 @@ def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
      baw, baws, bcw, bcws, btw, btws,
      biaw, biaws, bicw, bicws, bitw, bitws,
      amf, ami, cmf, cmi,
-     k0, k0s, k1, k1s) = refs[:_N_TABS]
+     k0, k0s, k1, k1s,
+     qicwz, qicwzs, bicwz, bicwzs) = refs[:_N_TABS]
     n_const = len(const_names)
     kc = SimpleNamespace(**{
         name: refs[_N_TABS + i][...] for i, name in enumerate(const_names)
@@ -242,11 +333,11 @@ def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
     qf_tabs = (qaw[...], qaws[...], qcw[...], qcws[...], amf[...], cmf[...],
                qtw[...], qtws[...])
     qi_tabs = (qiaw[...], qiaws[...], qicw[...], qicws[...], ami[...],
-               cmi[...], qitw[...], qitws[...])
+               cmi[...], qitw[...], qitws[...], qicwz[...], qicwzs[...])
     bf_tabs = (baw[...], baws[...], bcw[...], bcws[...], amf[...], cmf[...],
                btw[...], btws[...])
     bi_tabs = (biaw[...], biaws[...], bicw[...], bicws[...], ami[...],
-               cmi[...], bitw[...], bitws[...])
+               cmi[...], bitw[...], bitws[...], bicwz[...], bicwzs[...])
 
     x1 = x1_ref[...].reshape(T, 2, kq, c1, C2)
     x2 = x2_ref[...].reshape(T, 2, kq, c1, C2)
@@ -280,8 +371,8 @@ def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
     acc0 = acc1 = None
     for i in range(kq):
         dig = jnp.broadcast_to(outs[2][:, i : i + 1], outs[2].shape)
-        lifted = m31.reduce64(dig, jnp.zeros_like(dig), kc.qq,
-                              kc.mu_q_lo, kc.mu_q_hi)
+        # dig < q_i < 2^28 < 2^31: one Barrett step lifts it mod each q_j.
+        lifted = _reduce32u(dig, kc.qq, kc.mu_q_hi)
         dn = _ntt_fwd(lifted, qf_tabs, kc.qq, c1, logc1)
         t0 = m31.mulmod_shoup(dn, k0v[i], k0sv[i], kc.qq)
         t1 = m31.mulmod_shoup(dn, k1v[i], k1sv[i], kc.qq)
@@ -335,6 +426,7 @@ class FusedMultiplier:
             vb.iaw, vb.iaws, vb.icw, vb.icws, vb.base.itw, vb.base.itws,
             vq.amask[0], vq.amask[1], vq.cmask[0], vq.cmask[1],
             self.rlk.k0, self.rlk.k0_shoup, self.rlk.k1, self.rlk.k1_shoup,
+            vq.icwz, vq.icwzs, vb.icwz, vb.icwzs,
         )
 
     def _call(self, x1, x2):

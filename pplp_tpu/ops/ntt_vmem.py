@@ -64,6 +64,10 @@ class VmemNttTables:
     # Parity masks (1 = "hi" element of the pair), shared across limbs:
     amask: Any   # (fwd [S, c1, 1], inv [S, c1, 1])
     cmask: Any   # (fwd [S, 1, C2], inv [S, 1, C2])
+    # v2 z-form tables for the inverse lane CT stages [L, S, 1, C2]:
+    # wz = 1 at "lo" (u) lanes, stage twiddle at "hi" (v) lanes.
+    icwz: Any = None
+    icwzs: Any = None
 
 
 def _expand_rows(tbl_row, rows, nstages, direction):
@@ -128,14 +132,26 @@ def _build_eager(tb: FourStepTables) -> VmemNttTables:
     cmask_f = _masks(C2, _LOG_C2, lambda s: C2 >> (s + 1))
     cmask_i = _masks(C2, _LOG_C2, lambda s: 1 << s)
 
+    icw = lanes_tbl(tb.iwc, "inv")
+    icws = lanes_tbl(tb.iwcs, "inv")
+    # z-form inverse lane tables: twiddle at hi lanes, multiplicative identity
+    # at lo lanes (wz=1, Shoup(1) = floor(2^32/q) per limb).
+    cm_i = cmask_i[:, None, :].astype(bool)  # [S, 1, C2]
+    s1 = np.asarray(
+        [(1 << 32) // int(q) for q in np.asarray(tb.q)], np.uint32
+    ).reshape(L, 1, 1, 1)
+    icwz = jnp.asarray(np.where(cm_i[None], np.asarray(icw), 1))
+    icwzs = jnp.asarray(np.where(cm_i[None], np.asarray(icws), s1))
+
     return VmemNttTables(
         base=tb,
         aw=rows_tbl(tb.w1, "fwd"), aws=rows_tbl(tb.w1s, "fwd"),
         iaw=rows_tbl(tb.iw1, "inv"), iaws=rows_tbl(tb.iw1s, "inv"),
         cw=lanes_tbl(tb.wc, "fwd"), cws=lanes_tbl(tb.wcs, "fwd"),
-        icw=lanes_tbl(tb.iwc, "inv"), icws=lanes_tbl(tb.iwcs, "inv"),
+        icw=icw, icws=icws,
         amask=(jnp.asarray(amask_f[..., None]), jnp.asarray(amask_i[..., None])),
         cmask=(jnp.asarray(cmask_f[:, None, :]), jnp.asarray(cmask_i[:, None, :])),
+        icwz=icwz, icwzs=icwzs,
     )
 
 
@@ -162,27 +178,134 @@ def _bf_gs(x, w, ws, hi, t, q, rows, axis):
     return jnp.where(hi_b, d, s)
 
 
-def _kernel(direction, c1, logc1, q_ref,
+# ---------------------------------------------------------------------------
+# v2 stage formulations. Same math, same element placement, fewer vector ops:
+#
+# * Sublane (second-minor) stages pair CONTIGUOUS halves of 2t-row blocks, so
+#   a rank-raising reshape exposes (u, v) as separate half-width arrays and
+#   the Shoup multiply runs on half the elements (sublane-width ops shrink
+#   with the array; lane-width ops would not).
+# * Lane stages stay full-width (128-lane SIMD can't skip lanes) but drop the
+#   pre-selects: the inverse CT form multiplies x by a z-table (twiddle at hi
+#   lanes, 1 at lo lanes) FIRST, then combines rolled copies; the forward GS
+#   form computes sum/diff paths directly from rolled x.
+#
+# Intermediate residue representatives can differ from v1 (identical bounds,
+# same value mod q); canonical outputs are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _expand_q(q):
+    """[K,1,1] per-limb modulus -> broadcastable against split rank+1 views."""
+    if hasattr(q, "ndim") and q.ndim >= 3:
+        return q[..., None, :, :]
+    return q
+
+
+def _blocks(w_rows, nb):
+    """Full-row twiddle table [..., rows, 1] -> per-block [..., nb, 1, 1]
+    (stage twiddles are constant within each 2t-row pair block)."""
+    lead = w_rows.shape[:-2]
+    step = w_rows.shape[-2] // nb
+    return w_rows.reshape(lead + (nb, step, 1))[..., :, :1, :]
+
+
+def _bf_ct_split(x, w_rows, ws_rows, t, qx, rows):
+    """CT butterfly on the second-minor axis via contiguous-half split.
+
+    x: [..., rows, C2] with in/out < 4q; qx = _expand_q(modulus) so it
+    broadcasts against the split rank+1 view."""
+    nb = rows // (2 * t)
+    shp = x.shape
+    x6 = x.reshape(shp[:-2] + (nb, 2, t, shp[-1]))
+    u = x6[..., 0, :, :]
+    v = x6[..., 1, :, :]
+    wb = _blocks(w_rows, nb)
+    wbs = _blocks(ws_rows, nb)
+    mv = m31.mulmod_shoup_lazy(v, wb, wbs, qx)
+    u2 = m31.csub2q(u, qx * 2)
+    out = jnp.stack([u2 + mv, u2 + qx * 2 - mv], axis=-3)
+    return out.reshape(shp)
+
+
+def _bf_gs_split(x, w_rows, ws_rows, t, qx, rows):
+    """GS butterfly on the second-minor axis via contiguous-half split.
+
+    in/out < 2q."""
+    nb = rows // (2 * t)
+    shp = x.shape
+    x6 = x.reshape(shp[:-2] + (nb, 2, t, shp[-1]))
+    u = x6[..., 0, :, :]
+    v = x6[..., 1, :, :]
+    wb = _blocks(w_rows, nb)
+    wbs = _blocks(ws_rows, nb)
+    s = m31.csub2q(u + v, qx * 2)
+    d = m31.mulmod_shoup_lazy(u + qx * 2 - v, wb, wbs, qx)
+    out = jnp.stack([s, d], axis=-3)
+    return out.reshape(shp)
+
+
+def _bf_gs_z(x, w, ws, hi, t, q, rows, axis):
+    """Forward GS on the lane axis, select-light form: in/out < 2q."""
+    down = pltpu.roll(x, rows - t, axis)
+    up = pltpu.roll(x, t, axis)
+    hi_b = hi != 0
+    s = m31.csub2q(x + down, q * 2)
+    d = m31.mulmod_shoup_lazy(up + q * 2 - x, w, ws, q)
+    return jnp.where(hi_b, d, s)
+
+
+def _bf_ct_z(x, wz, wzs, hi, t, q, rows, axis):
+    """Inverse CT on the lane axis via z-table (w at hi lanes, 1 at lo):
+    in < 4q, out < 4q."""
+    z = m31.mulmod_shoup_lazy(x, wz, wzs, q)  # < 2q everywhere
+    zd = pltpu.roll(z, rows - t, axis)
+    zu = pltpu.roll(z, t, axis)
+    hi_b = hi != 0
+    return jnp.where(hi_b, zu + q * 2 - z, z + zd)
+
+
+def _ntt_form() -> str:
+    import os
+
+    return os.environ.get("PPLP_NTT_FORM", "v2")
+
+
+def _kernel(direction, c1, logc1, form, q_ref,
             aw, aws, cw, cws, am, cm, twm, twms, x_ref, o_ref):
     q = q_ref[pl.program_id(0)]
     tile_b = x_ref.shape[1]
     x = x_ref[0].reshape(tile_b, c1, C2)
+    v2 = form == "v2"
     if direction == "fwd":
         for s in range(logc1):
             t = c1 >> (s + 1)
-            x = _bf_ct(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
+            if v2:
+                x = _bf_ct_split(x, aw[0, s], aws[0, s], t, q, c1)
+            else:
+                x = _bf_ct(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
         x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         for s in range(_LOG_C2):
             t = C2 >> (s + 1)
-            x = _bf_gs(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            if v2:
+                x = _bf_gs_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            else:
+                x = _bf_gs(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
     else:
         for s in range(_LOG_C2):
             t = 1 << s
-            x = _bf_ct(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            if v2:
+                # cw/cws carry the z-tables (icwz/icwzs) in v2.
+                x = _bf_ct_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            else:
+                x = _bf_ct(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
         x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         for s in range(logc1):
             t = 1 << s
-            x = _bf_gs(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
+            if v2:
+                x = _bf_gs_split(x, aw[0, s], aws[0, s], t, q, c1)
+            else:
+                x = _bf_gs(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
     o_ref[0] = m31.csub(x, q).reshape(tile_b, c1 * C2)
 
 
@@ -213,12 +336,17 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
     tile_b = cands[0] if cands else Bp
     xl = jnp.swapaxes(xb, 0, 1)  # [L, Bp, n]
 
+    form = _ntt_form()
     if direction == "fwd":
         aw, aws, cw, cws = vt.aw, vt.aws, vt.cw, vt.cws
         am, cm = vt.amask[0], vt.cmask[0]
         twm, twms = tb.tw, tb.tws
     else:
-        aw, aws, cw, cws = vt.iaw, vt.iaws, vt.icw, vt.icws
+        aw, aws = vt.iaw, vt.iaws
+        if form == "v2":
+            cw, cws = vt.icwz, vt.icwzs
+        else:
+            cw, cws = vt.icw, vt.icws
         am, cm = vt.amask[1], vt.cmask[1]
         twm, twms = tb.itw, tb.itws
 
@@ -239,7 +367,7 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
         out_specs=spec_x,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, direction, c1, tb.logc1),
+        functools.partial(_kernel, direction, c1, tb.logc1, form),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
