@@ -68,3 +68,39 @@ def test_fused_decrypts_product():
     cb = enc.encrypt(Plaintext(format(456, "X")), jax.random.key(22))
     out = fused.multiply_relinearize(ca, cb)
     assert int(dec.decrypt(out).to_string(), 16) == 123 * 456
+
+
+@pytest.mark.parametrize("ntt_form,conv_form", [("v1", "shoup"),
+                                                ("v2", "acc96"),
+                                                ("v1", "acc96")])
+def test_fused_forms_bitexact(monkeypatch, ntt_form, conv_form):
+    """All NTT-stage / conversion formulations produce identical outputs.
+
+    The default (v2, shoup) is covered by test_fused_matches_unfused_bitexact;
+    this pins the fallbacks so either can ship if a backend regresses."""
+    monkeypatch.setenv("PPLP_NTT_FORM", ntt_form)
+    monkeypatch.setenv("PPLP_CONV_FORM", conv_form)
+    ctx = _ctx()
+    kg = KeyGenerator(ctx, 11)
+    sk = kg.secret_key()
+    rlk = create_relin_keys(ctx, sk, jax.random.key(3))
+    mul = RnsMultiplier(ctx)
+    fused = FusedMultiplier(ctx, rlk, tile_b=2)
+
+    rng = np.random.default_rng(5)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def ct(batch=2):
+        def poly():
+            v = rng.integers(0, 1 << 62, size=(batch, ctx.L, N)).astype(
+                np.uint64
+            ) % qs
+            return jnp.asarray(v.astype(np.uint32))
+
+        return Ciphertext((poly(), poly()), "coeff")
+
+    ct1, ct2 = ct(), ct()
+    want = relinearize(ctx, mul.multiply(ct1, ct2), rlk)
+    got = fused.multiply_relinearize(ct1, ct2)
+    for w, g in zip(want.polys, got.polys):
+        assert np.array_equal(np.asarray(w), np.asarray(g))
