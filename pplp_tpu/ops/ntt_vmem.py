@@ -203,11 +203,15 @@ def _expand_q(q):
 
 
 def _blocks(w_rows, nb):
-    """Full-row twiddle table [..., rows, 1] -> per-block [..., nb, 1, 1]
-    (stage twiddles are constant within each 2t-row pair block)."""
+    """Full-row twiddle table [..., rows, 1] -> per-block half [..., nb, t, 1].
+
+    Stage twiddles are constant within each 2t-row pair block, so the first
+    half of each block carries the right value at every row; keeping the
+    t-axis materialized means the later multiply only broadcasts along
+    lanes (Mosaic cannot broadcast sublanes and lanes in one op)."""
     lead = w_rows.shape[:-2]
-    step = w_rows.shape[-2] // nb
-    return w_rows.reshape(lead + (nb, step, 1))[..., :, :1, :]
+    t = w_rows.shape[-2] // (2 * nb)
+    return w_rows.reshape(lead + (nb, 2, t, 1))[..., :, 0, :, :]
 
 
 def _bf_ct_split(x, w_rows, ws_rows, t, qx, rows):
