@@ -40,15 +40,24 @@ BASELINE_TRANSFORMS_PER_S = 40_000.0  # SEAL-class single-thread CPU estimate
 
 
 def bench_ntt(n=8192, n_limbs=3, batch=1024):
+    """Best engine wins: the op-by-op 'four' graph vs the vmem Pallas kernel."""
     moduli = [Modulus(q) for q in get_primes(30, n_limbs, n)]
-    tb = ntt.build_tables(moduli, n)
-    q = tb.q[:, None]
-    key = jax.random.key(0)
-    bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
-    x = bits % q  # mild bias irrelevant for benchmarking
-    fwd = jax.jit(lambda v: ntt.forward(v, tb))
-    best, med = timed_windows(fwd, x)
-    return batch * n_limbs / best, batch * n_limbs / med
+    results = []
+    for engine in ("stage", "four", "vmem"):
+        try:
+            tb = ntt.build_tables(moduli, n, engine=engine)
+            q = tb.q[:, None]
+            key = jax.random.key(0)
+            bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
+            x = bits % q  # mild bias irrelevant for benchmarking
+            fwd = jax.jit(lambda v, _tb=tb: ntt.forward(v, _tb))
+            best, med = timed_windows(fwd, x, windows=6, budget_s=45)
+            results.append((batch * n_limbs / best, batch * n_limbs / med))
+        except Exception as e:  # pragma: no cover - engine-specific fallback
+            print(json.dumps({"ntt_engine_error": engine,
+                              "err": repr(e)[:120]}),
+                  file=sys.stderr, flush=True)
+    return max(results)
 
 
 def _synthetic_cts(ctx, batch, n):
@@ -180,15 +189,25 @@ def main():
             return True
         return False
 
+    from pplp_tpu.utils.chipstate import canary_latency, wait_healthy
+
+    wait_healthy(max_wait_s=min(90.0, budget_s / 5))
     # Headline FIRST so a time-capped run still reports it.
     value = bench_multiply()
+    dev = jax.devices()[0]
     print(
         json.dumps(
             {
                 "metric": "bfv_ct_mult_relin_per_s_n4096",
                 "value": round(value, 1),
                 "unit": "mults/s",
+                # Driver target: >=1e6/s on a 16-chip v5p => 62.5k per v5p
+                # chip. This bench chip is v5e-class (~2.3x less compute per
+                # chip than v5p); vs_baseline is reported against the raw
+                # v5p per-chip share, unnormalized.
                 "vs_baseline": round(value / BASELINE_MULTIPLIES_PER_S, 3),
+                "chip": getattr(dev, "device_kind", str(dev)),
+                "canary_us": round(canary_latency() * 1e6),
             }
         ),
         flush=True,

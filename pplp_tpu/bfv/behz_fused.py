@@ -314,7 +314,8 @@ def _karatsuba(a0, a1, b0, b1, q, mu_lo, mu_hi):
 _N_TABS = 36  # twiddle-table refs preceding the const refs in the arg list
 
 
-def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
+def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, do_relin,
+            *refs):
     (qaw, qaws, qcw, qcws, qtw, qtws,
      qiaw, qiaws, qicw, qicws, qitw, qitws,
      baw, baws, bcw, bcws, btw, btws,
@@ -362,6 +363,10 @@ def _kernel(const_names, mt_ints, l, msk_half, c1, logc1, kq, *refs):
     for j in range(3):
         w = _fast_floor(eq[j], eb[j], kc)
         outs.append(_sk_to_q(w, kc, l, msk_half))
+
+    if not do_relin:
+        o_ref[...] = jnp.stack(outs, axis=1).reshape(T, 3, kq, n)
+        return
 
     # Phase 7: RNS-gadget relinearization of the degree-2 component.
     k0v = k0[...].reshape(kq, kq, c1, C2)
@@ -415,7 +420,8 @@ class FusedMultiplier:
         )
         self.vt_q = _vtables(ctx.tables.four_step)
         self.vt_b = _vtables(self.mul.base_bsk.tables.four_step)
-        self._jit = jax.jit(self._call)
+        self._jit = jax.jit(functools.partial(self._call, True))
+        self._jit_norelin = jax.jit(functools.partial(self._call, False))
 
     def _tables_args(self):
         vq, vb = self.vt_q, self.vt_b
@@ -429,8 +435,8 @@ class FusedMultiplier:
             vq.icwz, vq.icwzs, vb.icwz, vb.icwzs,
         )
 
-    def _call(self, x1, x2):
-        """x1, x2: [B, 2, L, n] canonical coeff residues -> [B, 2, L, n]."""
+    def _call(self, do_relin, x1, x2):
+        """x1, x2: [B, 2, L, n] canonical coeff residues -> [B, 2|3, L, n]."""
         ctx = self.ctx
         kq, n = ctx.L, ctx.n
         tb4 = ctx.tables.four_step
@@ -443,6 +449,7 @@ class FusedMultiplier:
             x1 = jnp.concatenate([x1, z], axis=0)
             x2 = jnp.concatenate([x2, z], axis=0)
         Bp = B + pad
+        n_out = 2 if do_relin else 3
 
         args = self._tables_args() + self.const_arrays
         vm = pltpu.VMEM
@@ -450,15 +457,17 @@ class FusedMultiplier:
             a.shape, lambda b, _s=len(a.shape): (0,) * _s, memory_space=vm)
         spec_x = pl.BlockSpec((tile, 2, kq, n), lambda b: (b, 0, 0, 0),
                               memory_space=vm)
+        spec_o = pl.BlockSpec((tile, n_out, kq, n), lambda b: (b, 0, 0, 0),
+                              memory_space=vm)
         out = pl.pallas_call(
             functools.partial(
                 _kernel, self.const_names, self.mt_ints, self.mul.l,
-                self.mul.msk_half, c1, logc1, kq,
+                self.mul.msk_half, c1, logc1, kq, do_relin,
             ),
             grid=(Bp // tile,),
             in_specs=[full(a) for a in args] + [spec_x, spec_x],
-            out_specs=spec_x,
-            out_shape=jax.ShapeDtypeStruct((Bp, 2, kq, n), jnp.uint32),
+            out_specs=spec_o,
+            out_shape=jax.ShapeDtypeStruct((Bp, n_out, kq, n), jnp.uint32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -467,7 +476,7 @@ class FusedMultiplier:
         )(*args, x1, x2)
         return out[:B] if pad else out
 
-    def multiply_relinearize(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    def _run(self, jitted, n_out, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         assert ct1.size == 2 and ct2.size == 2
         assert ct1.domain == "coeff" and ct2.domain == "coeff"
         kq, n = self.ctx.L, self.ctx.n
@@ -476,8 +485,19 @@ class FusedMultiplier:
         batch = a.shape[:-3]
         a = a.reshape((-1, 2, kq, n))
         b = b.reshape((-1, 2, kq, n))
-        out = self._jit(a, b)
-        out = out.reshape(batch + (2, kq, n))
+        out = jitted(a, b)
+        out = out.reshape(batch + (n_out, kq, n))
         return Ciphertext(
-            (out[..., 0, :, :], out[..., 1, :, :]), "coeff"
+            tuple(out[..., i, :, :] for i in range(n_out)), "coeff"
         )
+
+    def multiply_relinearize(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        return self._run(self._jit, 2, ct1, ct2)
+
+    def multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        """Tensor product WITHOUT relinearization: a size-3 ciphertext.
+
+        Mirrors SEAL's separate Evaluator::multiply (the reference consumes
+        multiply+relinearize fused and unfused paths via SEAL); also the
+        clean measurement of the relin phase share in the fused kernel."""
+        return self._run(self._jit_norelin, 3, ct1, ct2)

@@ -104,3 +104,31 @@ def test_fused_forms_bitexact(monkeypatch, ntt_form, conv_form):
     got = fused.multiply_relinearize(ct1, ct2)
     for w, g in zip(want.polys, got.polys):
         assert np.array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_fused_multiply_norelin_bitexact():
+    """FusedMultiplier.multiply (no relin) matches RnsMultiplier.multiply."""
+    ctx = _ctx()
+    kg = KeyGenerator(ctx, 11)
+    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(3))
+    mul = RnsMultiplier(ctx)
+    fused = FusedMultiplier(ctx, rlk, tile_b=2)
+
+    rng = np.random.default_rng(7)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def ct(batch=2):
+        def poly():
+            v = rng.integers(0, 1 << 62, size=(batch, ctx.L, N)).astype(
+                np.uint64
+            ) % qs
+            return jnp.asarray(v.astype(np.uint32))
+
+        return Ciphertext((poly(), poly()), "coeff")
+
+    ct1, ct2 = ct(), ct()
+    want = mul.multiply(ct1, ct2)
+    got = fused.multiply(ct1, ct2)
+    assert got.size == 3
+    for w, g in zip(want.polys, got.polys):
+        assert np.array_equal(np.asarray(w), np.asarray(g))
