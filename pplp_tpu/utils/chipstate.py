@@ -116,14 +116,14 @@ def timed_windows(
     recorded = 0
     while recorded < windows:
         elapsed = time.perf_counter() - t_start
-        if elapsed > budget_s and times:
+        over = elapsed > budget_s or (elapsed + backoff > budget_s)
+        if over and times:
             break
-        if gate and not chip_healthy():
-            if elapsed + backoff > budget_s and times:
-                break
+        if gate and not over and not chip_healthy():
             time.sleep(min(backoff, 8.0))
             backoff *= 1.6
             continue
+        # Budget exhausted with nothing recorded: measure ungated once.
         backoff = 1.0
         t0 = time.perf_counter()
         for _ in range(inner):
