@@ -29,6 +29,7 @@ from ..bfv import (
     KeyGenerator,
     Plaintext,
 )
+from ..bfv.ciphertext import Ciphertext
 from ..bfv.serialize import (
     load_ciphertext,
     load_parms,
@@ -63,33 +64,70 @@ class ProximityClient:
         return save_parms(self.parms)
 
     def keygen(self):
+        from .jitted import keygen_fn, make_public_key, make_secret_key
+
         self._key, sub = jax.random.split(self._key)
-        self.keygenerator = KeyGenerator(self.ctx, sub)
-        self.sk = self.keygenerator.secret_key()
-        self.pk = self.keygenerator.create_public_key()
+        out = keygen_fn(self.ctx)(sub)
+        self.sk = make_secret_key(out)
+        self.pk = make_public_key(out)
         self.encryptor = Encryptor(self.ctx, self.pk)
         self.decryptor = Decryptor(self.ctx, self.sk)
 
     def ciphertext_messages(self) -> list[bytes]:
-        """Encrypt u = xa^2 + ya^2, 2*xa, 2*ya (demo.cc:131-140)."""
+        """Encrypt u = xa^2 + ya^2, 2*xa, 2*ya (demo.cc:131-140).
+
+        All three encryptions run as one jitted graph (one TPU dispatch);
+        the per-message key chain matches the eager path bit-for-bit.
+        """
+        import numpy as np
+
+        from .jitted import encrypt_batch_fn
+
         cfg = self.cfg
         u = cfg.xa * cfg.xa + cfg.ya * cfg.ya
-        blobs = []
-        for value in (u, cfg.xa << 1, cfg.ya << 1):
+        values = (u, cfg.xa << 1, cfg.ya << 1)
+        subs = []
+        for _ in values:
             self._key, sub = jax.random.split(self._key)
-            ct = self.encryptor.encrypt(
-                Plaintext(uint64_to_hex_string(value), n=self.ctx.n), sub
+            subs.append(sub)
+        pairs = [
+            Plaintext(uint64_to_hex_string(v), n=self.ctx.n).pair_u32(self.ctx.n)
+            for v in values
+        ]
+        m_lo = jax.numpy.asarray(np.stack([p[0] for p in pairs]))
+        m_hi = jax.numpy.asarray(np.stack([p[1] for p in pairs]))
+        pk = self.pk
+        stacked = encrypt_batch_fn(self.ctx)(
+            pk.pk0_ntt, pk.pk1_ntt, pk.pk0_shoup, pk.pk1_shoup,
+            m_lo, m_hi, jax.numpy.stack(subs),
+        )
+        return [
+            save_ciphertext(
+                Ciphertext(jax.tree.map(lambda x: x[i], stacked), "coeff"),
+                self.ctx,
             )
-            blobs.append(save_ciphertext(ct, self.ctx))
-        return blobs
+            for i in range(len(values))
+        ]
 
     def receive_bf(self, blob: bytes):
         (self.w,) = struct.unpack_from("<Q", blob, 0)
         self.bf = BloomFilter.deserialize(blob[8:], index_mode=self.cfg.bf_index_mode)
 
     def receive_blind_distance(self, blob: bytes) -> bool:
+        from ..bfv.plaintext import Plaintext as _Plaintext
+        from ..ops import ntt as _ntt
+        from .jitted import ct_value_fn
+
         ct = load_ciphertext(blob, self.ctx)
-        plain = self.decryptor.decrypt(ct)
+        residues = ct_value_fn(self.ctx)(
+            self.sk.s_ntt, self.sk.s_shoup, ct.polys
+        )
+        import numpy as np
+
+        coeffs = self.ctx.decode_plain_from_ct_value(
+            np.asarray(_ntt.to_numpy(residues, self.ctx.tables), dtype=object)
+        )
+        plain = _Plaintext(coeffs)
         # The protocol's blind distance is the constant coefficient. A healthy
         # decryption is a constant polynomial; nonzero higher coefficients
         # mean the noise budget was exhausted (flagged, not crashed).
@@ -175,15 +213,16 @@ class ProximityServer:
 
         c1 <- s*(u + z - 2*xa*xb - 2*ya*yb) + s*r = s*(d^2 + r)
         """
-        cfg, ev, bl = self.cfg, self.evaluator, self.blinding
-        t = self.ctx.t
+        from ..bfv.ciphertext import Ciphertext
+        from .jitted import blind_distance_fn, plain_pair
+
+        cfg, bl = self.cfg, self.blinding
+        t, n = self.ctx.t, self.ctx.n
         z = cfg.xb * cfg.xb + cfg.yb * cfg.yb
-        hexp = lambda v: Plaintext(uint64_to_hex_string(v % t), n=self.ctx.n)
-        c1 = ev.add_plain(self.c1, hexp(z))
-        c2 = ev.multiply_plain(self.c2, hexp(cfg.xb))
-        c3 = ev.multiply_plain(self.c3, hexp(cfg.yb))
-        c2 = ev.add(c2, c3)
-        c1 = ev.sub(c1, c2)
-        c1 = ev.multiply_plain(c1, hexp(bl.s))
-        c1 = ev.add_plain(c1, hexp(bl.s * bl.r))
-        return save_ciphertext(c1, self.ctx)
+        out = blind_distance_fn(self.ctx)(
+            self.c1.polys, self.c2.polys, self.c3.polys,
+            plain_pair(z, t, n), plain_pair(cfg.xb, t, n),
+            plain_pair(cfg.yb, t, n), plain_pair(bl.s, t, n),
+            plain_pair(bl.s * bl.r, t, n),
+        )
+        return save_ciphertext(Ciphertext(tuple(out), "coeff"), self.ctx)

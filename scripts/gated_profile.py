@@ -1,0 +1,172 @@
+"""Long-running canary-gated profile of the multiply paths.
+
+Compiles each requested variant once (persistent cache), then measures all
+of them round-robin for the remaining wall budget, recording ONLY windows
+whose canary is healthy both before and after. Cross-variant comparisons are
+then within-window-class and contention-robust — the failure mode that
+poisoned the round-2/3 "Mosaic 4-D cliff" conclusion (variants measured in
+different contention windows looked 100x apart).
+
+Usage: python scripts/gated_profile.py [minutes] [variant ...]
+Variants: xla fused nontt nttonly prim
+Output: JSONL lines to stdout; summarize with scripts/gated_summary.py.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pplp_tpu.utils.chipstate import (
+    HEALTHY_S, canary_latency, enable_compile_cache,
+)
+
+enable_compile_cache()
+
+N, BATCH, TILE = 4096, 256, 2
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def build_xla():
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
+    from pplp_tpu.bfv.keys import KeyGenerator
+    import bench
+
+    parms = EncryptionParameters.bfv(N, 1 << 16, profile="tpu")
+    ctx = BFVContext.build(parms, engine="four")
+    kg = KeyGenerator(ctx, 0)
+    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(1))
+    mul = RnsMultiplier(ctx)
+    ct1, ct2 = bench._synthetic_cts(ctx, BATCH, N)
+    f = jax.jit(lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk))
+    return f, (ct1, ct2)
+
+
+def build_fused(mode):
+    import pplp_tpu.bfv.behz_fused as bf
+    import jax.numpy as jnp
+    from pplp_tpu.bfv import BFVContext, EncryptionParameters
+    from pplp_tpu.bfv.behz import create_relin_keys
+    from pplp_tpu.bfv.ciphertext import Ciphertext
+    from pplp_tpu.bfv.keys import KeyGenerator
+
+    orig = (bf._ntt_fwd, bf._ntt_inv, bf._to_bsk, bf._fast_floor, bf._sk_to_q)
+    if mode == "nontt":
+        bf._ntt_fwd = lambda x, tabs, q, c1, logc1: x
+        bf._ntt_inv = lambda x, tabs, q, c1, logc1: x
+    elif mode == "nttonly":
+        bf._to_bsk = lambda x_q, kc, mt: jnp.concatenate(
+            [x_q, x_q[:, : kc.qb.shape[0] - x_q.shape[1]]], axis=1)
+        bf._fast_floor = lambda e_q, e_b, kc: e_b
+        bf._sk_to_q = lambda w, kc, l, h: w[:, : kc.qq.shape[0]]
+
+    parms = EncryptionParameters.bfv(N, 1 << 16, profile="tpu")
+    ctx = BFVContext.build(parms, engine="vmem")
+    kg = KeyGenerator(ctx, 0)
+    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(1))
+    fused = bf.FusedMultiplier(ctx, rlk, tile_b=TILE)
+    rng = np.random.default_rng(0)
+    qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
+
+    def ct():
+        def poly():
+            v = rng.integers(0, 1 << 62, size=(BATCH, ctx.L, N)).astype(
+                np.uint64) % qs
+            return jnp.asarray(v.astype(np.uint32))
+        return Ciphertext((poly(), poly()), "coeff")
+
+    args = (ct(), ct())
+    f = lambda a, b: fused.multiply_relinearize(a, b).polys
+    bf._ntt_fwd, bf._ntt_inv, bf._to_bsk, bf._fast_floor, bf._sk_to_q = orig
+    return f, args
+
+
+def build_prim():
+    """Calibration: 16-chain shoup mulmod on [BATCH, 4, N] (scalar consts)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from pplp_tpu.ops.modmath import m31
+
+    Q = (1 << 30) - (1 << 18) + 1
+    W = 123456789
+    WS = (W << 32) // Q
+
+    def kernel(x_ref, o_ref):
+        y = x_ref[...]
+        for _ in range(16):
+            y = m31.mulmod_shoup(y, jnp.uint32(W), jnp.uint32(WS),
+                                 jnp.uint32(Q))
+        o_ref[...] = y
+
+    spec = pl.BlockSpec((8, 4, N), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, Q, size=(BATCH, 4, N), dtype=np.uint32))
+    f = jax.jit(lambda xx: pl.pallas_call(
+        kernel, grid=(BATCH // 8,),
+        in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BATCH, 4, N), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(xx))
+    return f, (x,)
+
+
+BUILDERS = {
+    "xla": build_xla,
+    "fused": lambda: build_fused("full"),
+    "nontt": lambda: build_fused("nontt"),
+    "nttonly": lambda: build_fused("nttonly"),
+    "prim": build_prim,
+}
+
+
+def main():
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
+    names = sys.argv[2:] or ["prim", "xla", "fused", "nontt", "nttonly"]
+    t_end = time.time() + minutes * 60
+
+    variants = {}
+    for name in names:
+        t0 = time.time()
+        f, args = BUILDERS[name]()
+        out = f(*args)
+        jax.block_until_ready(out)
+        log(event="compiled", variant=name, compile_s=round(time.time() - t0, 1))
+        variants[name] = (f, args)
+
+    inner = 2
+    while time.time() < t_end:
+        for name, (f, args) in variants.items():
+            c0 = canary_latency()
+            if c0 >= HEALTHY_S:
+                log(event="degraded", canary_us=round(c0 * 1e6))
+                time.sleep(5.0)
+                continue
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                out = f(*args)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / inner
+            c1 = canary_latency()
+            log(
+                event="sample", variant=name, s_per_call=round(dt, 6),
+                per_s=round(BATCH / dt, 1),
+                canary_us=[round(c0 * 1e6), round(c1 * 1e6)],
+                clean=bool(c1 < HEALTHY_S),
+            )
+            time.sleep(0.5)
+        time.sleep(2.0)
+
+
+if __name__ == "__main__":
+    main()
