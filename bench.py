@@ -41,8 +41,10 @@ BASELINE_TRANSFORMS_PER_S = 40_000.0  # SEAL-class single-thread CPU estimate
 
 def bench_ntt(n=8192, n_limbs=3, batch=1024):
     """Best engine wins: the op-by-op 'four' graph vs the vmem Pallas kernel."""
+    from pplp_tpu.utils.chipstate import timed_windows_multi
+
     moduli = [Modulus(q) for q in get_primes(30, n_limbs, n)]
-    results = []
+    fns = {}
     for engine in ("stage", "four", "vmem"):
         try:
             tb = ntt.build_tables(moduli, n, engine=engine)
@@ -51,13 +53,16 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024):
             bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
             x = bits % q  # mild bias irrelevant for benchmarking
             fwd = jax.jit(lambda v, _tb=tb: ntt.forward(v, _tb))
-            best, med = timed_windows(fwd, x, windows=6, budget_s=45)
-            results.append((batch * n_limbs / best, batch * n_limbs / med))
+            jax.block_until_ready(fwd(x))
+            fns[engine] = (fwd, (x,))
         except Exception as e:  # pragma: no cover - engine-specific fallback
             print(json.dumps({"ntt_engine_error": engine,
                               "err": repr(e)[:120]}),
                   file=sys.stderr, flush=True)
-    return max(results)
+    timed = timed_windows_multi(fns, windows=6, budget_s=90)
+    return max(
+        (batch * n_limbs / b, batch * n_limbs / m) for b, m in timed.values()
+    )
 
 
 def _synthetic_cts(ctx, batch, n):
@@ -84,8 +89,10 @@ def bench_multiply(n=4096, batch=256):
     from pplp_tpu.bfv.behz_fused import FusedMultiplier
     from pplp_tpu.bfv.keys import KeyGenerator
 
+    from pplp_tpu.utils.chipstate import timed_windows_multi
+
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
-    results = {}
+    fns = {}
 
     # Path A: op-by-op XLA graph.
     ctx = BFVContext.build(parms, engine="four")
@@ -94,8 +101,7 @@ def bench_multiply(n=4096, batch=256):
     mul = RnsMultiplier(ctx)
     ct1, ct2 = _synthetic_cts(ctx, batch, n)
     mr = jax.jit(lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk))
-    best, med = timed_windows(mr, ct1, ct2, windows=8)
-    results["xla"] = (batch / best, batch / med)
+    fns["xla"] = (mr, (ct1, ct2))
 
     # Path B: fused VMEM kernel.
     try:
@@ -105,11 +111,14 @@ def bench_multiply(n=4096, batch=256):
         fused = FusedMultiplier(ctx_v, rlk_v, tile_b=2)
         ct1v, ct2v = _synthetic_cts(ctx_v, batch, n)
         fr = lambda a, b: fused.multiply_relinearize(a, b).polys
-        best, med = timed_windows(fr, ct1v, ct2v, windows=8)
-        results["fused"] = (batch / best, batch / med)
+        fns["fused"] = (fr, (ct1v, ct2v))
     except Exception as e:  # pragma: no cover - fused path is TPU-tuned
         print(json.dumps({"fused_path_error": repr(e)[:200]}), file=sys.stderr)
 
+    # Interleaved gated windows: both paths sample the same contention
+    # climate, so the winner is not an artifact of a neighbor burst.
+    timed = timed_windows_multi(fns, windows=8)
+    results = {k: (batch / b, batch / m) for k, (b, m) in timed.items()}
     winner = max(results, key=lambda k: results[k][0])
     print(
         json.dumps(

@@ -133,7 +133,6 @@ BUILDERS = {
 def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 30.0
     names = sys.argv[2:] or ["prim", "xla", "fused", "nontt", "nttonly"]
-    t_end = time.time() + minutes * 60
 
     variants = {}
     for name in names:
@@ -144,6 +143,7 @@ def main():
         log(event="compiled", variant=name, compile_s=round(time.time() - t0, 1))
         variants[name] = (f, args)
 
+    t_end = time.time() + minutes * 60  # measurement budget AFTER compiles
     inner = 2
     while time.time() < t_end:
         for name, (f, args) in variants.items():

@@ -50,6 +50,41 @@ def test_timed_windows_records_at_least_one_window_when_gated_out():
         chipstate.chip_healthy = orig
 
 
+def test_timed_windows_multi_interleaves_all_variants():
+    calls = {"a": 0, "b": 0}
+
+    def mk(name):
+        def fn(x):
+            calls[name] += 1
+            return x * 2
+        return fn
+
+    x = jax.numpy.arange(8)
+    out = chipstate.timed_windows_multi(
+        {"a": (mk("a"), (x,)), "b": (mk("b"), (x,))},
+        windows=3, inner=2, gap_s=0.0, budget_s=5.0,
+    )
+    assert set(out) == {"a", "b"}
+    for best, med in out.values():
+        assert 0 <= best <= med
+    # Both variants sampled the same number of measurement rounds.
+    assert calls["a"] == calls["b"] >= 7  # warmup + 3 windows x 2
+
+
+def test_timed_windows_multi_never_healthy_falls_back_ungated():
+    orig = chipstate.chip_healthy
+    chipstate.chip_healthy = lambda: False
+    try:
+        out = chipstate.timed_windows_multi(
+            {"a": (lambda x: x + 1, (jax.numpy.arange(4),))},
+            windows=3, inner=1, gap_s=0.0, budget_s=0.5,
+        )
+        best, med = out["a"]
+        assert best > 0 and med > 0
+    finally:
+        chipstate.chip_healthy = orig
+
+
 def test_enable_compile_cache_idempotent():
     chipstate.enable_compile_cache()
     chipstate.enable_compile_cache()
