@@ -145,7 +145,8 @@ def main():
 
     t_end = time.time() + minutes * 60  # measurement budget AFTER compiles
     inner = 2
-    while time.time() < t_end:
+    stop_file = os.environ.get("PPLP_PROFILE_STOP", "/tmp/b3/stop")
+    while time.time() < t_end and not os.path.exists(stop_file):
         for name, (f, args) in variants.items():
             c0 = canary_latency()
             if c0 >= HEALTHY_S:
