@@ -386,7 +386,13 @@ class RnsMultiplier:
     # ------------------------------------------------------------------
 
     def multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
-        """BFV multiply: (c0,c1) x (d0,d1) -> size-3 ciphertext in Q."""
+        """BFV multiply: (c0,c1) x (d0,d1) -> size-3 ciphertext in Q.
+
+        Structure note (round-4 A/B, scripts/r4_ab_multiply.py): keeping the
+        four input polys as SEPARATE per-poly phase chains is ~1.45x faster
+        under XLA than stacking them on a leading axis ([4,B,L,n] stacking
+        measured 23.6 ms vs 16.5 ms per 256-batch call — the big stacked
+        arrays defeat XLA's fusion/layout choices). Do not "batch" these."""
         assert ct1.size == 2 and ct2.size == 2
         assert ct1.domain == "coeff" and ct2.domain == "coeff"
         tq, tb = self.base_q.tables, self.base_bsk.tables
@@ -421,17 +427,28 @@ class RnsMultiplier:
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class KSwitchKeys:
     """RNS-gadget key-switching keys toward a target secret T:
     key[i] = (b_i, a_i) in NTT domain, b_i = -(a_i s + e_i) + g_i T,
     g_i = 1 mod q_i, 0 mod q_j. T = s^2 gives relinearization keys; T =
-    s(X^g) gives Galois keys."""
+    s(X^g) gives Galois keys.
+
+    Registered as a pytree so key generation can run under ONE jit (eager
+    keygen is hundreds of tiny dispatches — slow through the remote tunnel)."""
 
     k0: Any  # [k, L, n] stacked b_i (with Shoup companions)
     k0_shoup: Any
     k1: Any
     k1_shoup: Any
+
+    def tree_flatten(self):
+        return (self.k0, self.k0_shoup, self.k1, self.k1_shoup), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 RelinKeys = KSwitchKeys  # relin keys are key-switch keys for T = s^2
@@ -481,8 +498,34 @@ def create_relin_keys(ctx: BFVContext, sk, key, inject=None) -> KSwitchKeys:
     return create_kswitch_keys(ctx, sk, s2, key, inject=inject)
 
 
+def make_keys_jit(ctx: BFVContext, seed: int):
+    """(SecretKey, relin KSwitchKeys) generated under ONE compiled graph.
+
+    Eager keygen (KeyGenerator + create_relin_keys outside jit) issues
+    hundreds of tiny dispatches — each a separate remote compile on the
+    tunneled TPU backend, minutes of wall clock when the compile queue is
+    busy. Benchmarks and profiles should use this instead."""
+    from . import sampling
+    from .keys import SecretKey, _shoup
+
+    def f(key):
+        key_s, key_r = jax.random.split(key)
+        s = sampling.ternary_poly(key_s, ctx)
+        s_ntt = ntt.forward(s, ctx.tables)
+        s_shoup = _shoup(ctx, s_ntt)
+        sk = SecretKey(s_ntt=s_ntt, s_shoup=s_shoup)
+        return (s_ntt, s_shoup), create_relin_keys(ctx, sk, key_r)
+
+    (s_ntt, s_shoup), rlk = jax.jit(f)(jax.random.key(seed))
+    return SecretKey(s_ntt=s_ntt, s_shoup=s_shoup), rlk
+
+
 def keyswitch_contributions(ctx: BFVContext, poly, keys: KSwitchKeys):
-    """Sum_i NTT(lift(|poly|_{q_i})) * key[i] -> (d0, d1) in coeff domain."""
+    """Sum_i NTT(lift(|poly|_{q_i})) * key[i] -> (d0, d1) in coeff domain.
+
+    Structure note (round-4 A/B): the per-digit loop is faster under XLA
+    than stacking the k digits on a leading axis (+1 ms per 256-batch call
+    for the stacked form) — same finding as RnsMultiplier.multiply."""
     p = ctx.prof
     tb = ctx.tables
     q2 = tb.q_b(1)

@@ -115,10 +115,7 @@ class Evaluator:
         """a * m where m is an un-scaled plaintext poly (centered lift)."""
         assert a.domain == "coeff"
         ctx = self.ctx
-        m_lo, m_hi = self._plain_pairs(plain)
-        m_rq = ctx.lift_plain_centered(m_lo, m_hi)
-        m_ntt = ntt.forward(m_rq, ctx.tables)
-        m_shoup = _shoup(ctx, m_ntt)
+        m_ntt, m_shoup = self.plain_spectrum(plain)
         p, q2 = ctx.prof, ctx.tables.q_b(1)
         polys = []
         for c in a.polys:
@@ -126,6 +123,59 @@ class Evaluator:
             prod = p.mulmod_shoup(c_ntt, m_ntt, m_shoup, q2)
             polys.append(ntt.inverse(prod, ctx.tables))
         return Ciphertext(tuple(polys), "coeff")
+
+    # -- NTT-domain chaining --------------------------------------------
+    #
+    # Every op here is exact modular ring arithmetic, and the NTT is a ring
+    # isomorphism — so chained expressions (e.g. the protocol's blind
+    # distance s*(c1 + z - (c2*xb + c3*yb)) + s*r) can transform each
+    # operand ONCE, combine in the spectrum, and inverse-transform once,
+    # with bit-identical results to the op-by-op coefficient-domain chain.
+    # SEAL's BFV evaluator re-transforms per multiply_plain call; this is
+    # the TPU-native transform-budget optimization (NTT sweeps are the HBM
+    # currency — docs/performance_model.md).
+
+    def plain_spectrum(self, plain):
+        """Plaintext -> (m_ntt, m_shoup), cacheable across calls/radii."""
+        ctx = self.ctx
+        m_lo, m_hi = self._plain_pairs(plain)
+        m_rq = ctx.lift_plain_centered(m_lo, m_hi)
+        m_ntt = ntt.forward(m_rq, ctx.tables)
+        return m_ntt, _shoup(ctx, m_ntt)
+
+    def to_ntt(self, a: Ciphertext) -> Ciphertext:
+        """Transform all components (one stacked NTT dispatch)."""
+        assert a.domain == "coeff"
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *a.polys)
+        spec = ntt.forward(stacked, self.ctx.tables)
+        k = a.size
+        polys = tuple(
+            jax.tree.map(lambda x: x[i], spec) for i in range(k)
+        )
+        return Ciphertext(polys, "ntt")
+
+    def from_ntt(self, a: Ciphertext) -> Ciphertext:
+        assert a.domain == "ntt"
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *a.polys)
+        coeff = ntt.inverse(stacked, self.ctx.tables)
+        polys = tuple(
+            jax.tree.map(lambda x: x[i], coeff) for i in range(a.size)
+        )
+        return Ciphertext(polys, "coeff")
+
+    def multiply_plain_ntt(self, a: Ciphertext, spectrum) -> Ciphertext:
+        """Pointwise ct * plain with both already in the NTT domain."""
+        assert a.domain == "ntt"
+        m_ntt, m_shoup = spectrum
+        p, q2 = self.ctx.prof, self.ctx.tables.q_b(1)
+        return Ciphertext(
+            tuple(p.mulmod_shoup(c, m_ntt, m_shoup, q2) for c in a.polys),
+            "ntt",
+        )
 
 
 def mod_switch_to_next(ctx: BFVContext, ct: Ciphertext):

@@ -98,21 +98,40 @@ def blind_distance_fn(ctx: BFVContext):
 
     Plaintext operands arrive as (lo, hi) u32 coefficient arrays so new
     blinding values / coordinates never retrace.
+
+    NTT-domain chained: each ciphertext transforms ONCE (a single stacked
+    forward dispatch for all six component polys), the whole expression
+    s*(c1 + z - (c2*xb + c3*yb)) combines pointwise in the spectrum, and one
+    stacked inverse brings the result back — 11 poly-transforms per call vs
+    15 for the op-by-op chain (and 3 dispatches vs 15). The NTT is a ring
+    isomorphism and every op is exact modular arithmetic, so outputs are
+    bit-identical to the coefficient-domain sequence (golden transcripts
+    pinned in tests/test_golden.py must not move).
     """
 
     def f(c1p, c2p, c3p, z, xb, yb, s, sr):
         ev = Evaluator(ctx)
-        c1 = Ciphertext(tuple(c1p), "coeff")
+        c1 = ev.add_plain(Ciphertext(tuple(c1p), "coeff"), z)
         c2 = Ciphertext(tuple(c2p), "coeff")
         c3 = Ciphertext(tuple(c3p), "coeff")
-        c1 = ev.add_plain(c1, z)
-        c2 = ev.multiply_plain(c2, xb)
-        c3 = ev.multiply_plain(c3, yb)
-        c2 = ev.add(c2, c3)
-        c1 = ev.sub(c1, c2)
-        c1 = ev.multiply_plain(c1, s)
-        c1 = ev.add_plain(c1, sr)
-        return c1.polys
+        # One stacked forward NTT for all six component polynomials.
+        all_polys = c1.polys + c2.polys + c3.polys
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *all_polys)
+        spec = ntt.forward(stacked, ctx.tables)
+        comp = lambda i: jax.tree.map(lambda x: x[i], spec)
+        c1s = Ciphertext((comp(0), comp(1)), "ntt")
+        c2s = Ciphertext((comp(2), comp(3)), "ntt")
+        c3s = Ciphertext((comp(4), comp(5)), "ntt")
+        xb_s = ev.plain_spectrum(xb)
+        yb_s = ev.plain_spectrum(yb)
+        s_s = ev.plain_spectrum(s)
+        acc = ev.sub(
+            c1s,
+            ev.add(ev.multiply_plain_ntt(c2s, xb_s),
+                   ev.multiply_plain_ntt(c3s, yb_s)),
+        )
+        out = ev.from_ntt(ev.multiply_plain_ntt(acc, s_s))
+        return ev.add_plain(out, sr).polys
 
     return jax.jit(f)
 

@@ -1,26 +1,35 @@
-"""Shared-chip measurement hygiene: canary gating + persistent compile cache.
+"""Shared-chip measurement hygiene: dispatch-amortized timing + compile cache.
 
 The bench TPU in this environment is a remote, shared v5e-class chip behind a
-tunnel. Two failure modes corrupt measurements (observed rounds 2-3):
+tunnel. Round-4 measurement forensics (scripts/r4_dispatch_floor.py)
+overturned the round-2/3 model of its failure modes:
 
-* **Degraded dispatch windows**: for minutes at a time every kernel dispatch
-  costs ~5 ms wall regardless of work (a ~40-100x inflation for
-  microsecond-scale kernels). Whole benchmark scripts can fall inside one
-  window, producing reproducible-looking garbage.
-* **Compile stalls**: XLA compiles that normally take seconds can queue for
-  minutes.
+* **Per-dispatch round-trip latency is the dominant artifact.** After a
+  process runs its first big graph, EVERY synchronous dispatch
+  (call + block_until_ready) pays a ~25-30 ms host<->device round trip —
+  in THAT process only; a concurrently started fresh process reads ~0.1 ms.
+  The round-2/3 "degraded dispatch windows" were largely this process-local
+  state, not neighbor contention. Crucially, async dispatches PIPELINE:
+  8 back-to-back calls of a 3.4 ms kernel cost ~3.5 ms each (measured; a
+  lax.scan-chained x8 graph gives the same). Throughput timing must
+  therefore amortize the RTT over enough back-to-back calls —
+  :func:`timed_windows`/:func:`timed_windows_multi` now auto-size ``inner``
+  for ~0.25 s of queued work per window.
+* **Real neighbor bursts exist too** (fresh-process canary 5-6 ms for
+  minutes), inflating device time itself. Best-of-N spaced windows with the
+  median reported covers those; in-process canary gating does NOT (the
+  canary mostly re-measures the process's own RTT floor) and was removed.
+* **Compile stalls**: compiles that normally take seconds can queue for
+  minutes behind orphaned compiles, and an in-flight compile RPC can be
+  lost entirely (process hangs forever: kill it and rerun — the
+  persistent cache makes the retry cheap).
 
-Countermeasures here:
-
-* :func:`canary_latency` / :func:`chip_healthy` — a tiny resident jitted
-  kernel whose dispatch latency distinguishes the two states (healthy
-  ~0.1 ms, degraded ~5 ms).
-* :func:`timed_windows` — best/median seconds-per-call over several spaced
-  windows, where each window is *gated*: if the canary says degraded, the
-  window is skipped (with backoff) instead of polluting the sample. A wall
-  budget bounds the total wait so driver runs never hang.
+* :func:`canary_latency` / :func:`chip_healthy` — valid ONLY in a process
+  that has not yet run big graphs (e.g. bench start, or a fresh subprocess
+  probe): there it distinguishes quiet (~0.1 ms) from neighbor-burst
+  (~5 ms) states. :func:`fresh_canary_us` spawns such a probe.
 * :func:`enable_compile_cache` — turns on JAX's persistent compilation cache
-  so each big Pallas kernel compiles once per machine, not once per process
+  so each big kernel compiles once per machine, not once per process
   (verified effective on this backend: 1.76 s -> 0.13 s).
 
 The reference has no analogue (single local CPU, `chrono` timers around
@@ -92,53 +101,86 @@ def wait_healthy(max_wait_s: float = 120.0, poll_s: float = 2.0) -> bool:
     return False
 
 
+def fresh_canary_us(timeout_s: float = 30.0) -> int:
+    """Chip-state reading from a FRESH subprocess (where the canary is
+    valid — this process's own canary only measures its RTT floor once big
+    graphs have run). Returns -1 on failure/timeout."""
+    import subprocess
+    import sys
+
+    code = (
+        "from pplp_tpu.utils.chipstate import canary_latency\n"
+        "print(round(canary_latency()*1e6))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        )
+        return int(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return -1
+
+
+def _calibrate_inner(per_call_s: float, target_s: float = 0.25,
+                     max_inner: int = 256) -> int:
+    return max(1, min(max_inner, round(target_s / max(per_call_s, 1e-5))))
+
+
 def timed_windows_multi(
     fns: dict,
     windows: int = 8,
-    inner: int = 2,
+    inner: int | None = None,
     gap_s: float = 0.25,
     budget_s: float = 150.0,
 ):
-    """Round-robin gated timing of several variants: {name: (fn, args)}.
+    """Round-robin timing of several variants: {name: (fn, args)}.
 
     Interleaving means every variant samples the same contention climate —
     serial per-variant measurement can crown a "winner" purely because the
     neighbor burst during the loser's turn (observed on the round-2 bench).
-    Returns {name: (best, median)} seconds/call; degraded windows skipped.
+
+    ``inner=None`` auto-sizes the back-to-back call count per variant so
+    each window queues ~0.25 s of device work: async dispatches pipeline, so
+    this amortizes the ~25-30 ms per-dispatch round trip that otherwise
+    dominates (round-4 finding; a 3.4 ms kernel measures 27 ms at inner=1).
+    Returns {name: (best, median)} seconds/call.
     """
     for fn, args in fns.values():  # warmup/compile
         jax.block_until_ready(fn(*args))
+    inners = {}
+    for name, (fn, args) in fns.items():
+        if inner is not None:
+            inners[name] = inner
+            continue
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(4):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        inners[name] = _calibrate_inner((time.perf_counter() - t0) / 4)
     times = {name: [] for name in fns}
     t_start = time.perf_counter()
-    backoff = 1.0
     rounds = 0
     while rounds < windows:
-        elapsed = time.perf_counter() - t_start
-        if elapsed > budget_s:
+        if time.perf_counter() - t_start > budget_s and all(
+            times[n] for n in times
+        ):
             break
-        if not chip_healthy():
-            if all(times[n] for n in times) and elapsed + backoff > budget_s:
-                break
-            time.sleep(min(backoff, 8.0))
-            backoff *= 1.6
-            continue
-        backoff = 1.0
         for name, (fn, args) in fns.items():
+            k = inners[name]
             t0 = time.perf_counter()
-            for _ in range(inner):
+            out = None
+            for _ in range(k):
                 out = fn(*args)
             jax.block_until_ready(out)
-            times[name].append((time.perf_counter() - t0) / inner)
+            times[name].append((time.perf_counter() - t0) / k)
         rounds += 1
         time.sleep(gap_s)
     out = {}
     for name, ts in times.items():
-        if not ts:  # never healthy: one ungated window
-            t0 = time.perf_counter()
-            for _ in range(inner):
-                o = fns[name][0](*fns[name][1])
-            jax.block_until_ready(o)
-            ts = [(time.perf_counter() - t0) / inner]
         ts.sort()
         out[name] = (ts[0], ts[len(ts) // 2])
     return out
@@ -148,41 +190,39 @@ def timed_windows(
     fn,
     *args,
     windows: int = 10,
-    inner: int = 3,
+    inner: int | None = None,
     gap_s: float = 0.25,
     budget_s: float = 90.0,
-    gate: bool = True,
+    gate: bool = False,
 ):
-    """(best, median) seconds/call over gated, spaced measurement windows.
+    """(best, median) seconds/call over spaced measurement windows.
 
-    Windows measured while the canary reports a degraded chip are discarded
-    and retried after a backoff, up to ``budget_s`` total wall time. At least
-    one window is always recorded (ungated) so a result is produced even if
-    the chip never looks healthy.
+    ``inner=None`` auto-amortizes the per-dispatch round trip (see
+    :func:`timed_windows_multi`). ``gate`` is deprecated and ignored: the
+    in-process canary cannot distinguish chip state once big graphs have
+    run (round-4 finding), so windows are simply spread over time with
+    best + median reported — neighbor bursts inflate some windows and the
+    best-of-N discards them.
     """
+    del gate
     out = fn(*args)
     jax.block_until_ready(out)
+    if inner is None:
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        inner = _calibrate_inner((time.perf_counter() - t0) / 4)
     times = []
     t_start = time.perf_counter()
-    backoff = 1.0
-    recorded = 0
-    while recorded < windows:
-        elapsed = time.perf_counter() - t_start
-        over = elapsed > budget_s or (elapsed + backoff > budget_s)
-        if over and times:
+    for _ in range(windows):
+        if time.perf_counter() - t_start > budget_s and times:
             break
-        if gate and not over and not chip_healthy():
-            time.sleep(min(backoff, 8.0))
-            backoff *= 1.6
-            continue
-        # Budget exhausted with nothing recorded: measure ungated once.
-        backoff = 1.0
         t0 = time.perf_counter()
         for _ in range(inner):
             out = fn(*args)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / inner)
-        recorded += 1
         time.sleep(gap_s)
     times.sort()
     return times[0], times[len(times) // 2]

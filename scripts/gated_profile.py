@@ -86,6 +86,11 @@ def build_fused(mode):
 
     args = (ct(), ct())
     f = lambda a, b: fused.multiply_relinearize(a, b).polys
+    # Trace+compile WHILE the ablation monkeypatches are active: jax.jit is
+    # lazy and resolves bf._ntt_fwd etc. as module globals at first call, so
+    # restoring them before the warm call would silently measure the FULL
+    # kernel for every ablation mode.
+    jax.block_until_ready(f(*args))
     bf._ntt_fwd, bf._ntt_inv, bf._to_bsk, bf._fast_floor, bf._sk_to_q = orig
     return f, args
 
