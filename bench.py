@@ -19,14 +19,15 @@ Round-4 structure: the fused Pallas mega-kernel (bfv/behz_fused.py) is
 DEMOTED to an experiment — it lost to the op-by-op XLA path in every healthy
 measurement across rounds 2-4 and its cold Mosaic compile (~24 min through
 the tunnel) repeatedly wedged driver runs (docs/performance_model.md).
-The production multiply is the op-by-op BEHZ graph; both NTT engines
-('four' = XLA four-step, 'vmem' = Pallas VMEM kernel) are measured
-interleaved and the winner takes the headline. All key setup runs under ONE
+The production multiply is the op-by-op BEHZ graph with the XLA four-step
+NTT; the headline interleaves the dual-chain (2x128, ILP winner) and
+single-chain (256) forms and takes the best. All key setup runs under ONE
 jit (behz.make_keys_jit) — eager keygen was hundreds of tunnel round-trips.
 
-Metric order: multiply (headline) -> DGK -> proximity -> NTT, each inside an
+Metric order: multiply (headline) -> DGK -> NTT -> proximity, each inside an
 explicit share of the wall budget so a slow phase cannot starve the record
-(the r03 failure: one doomed warmup ate all four metrics).
+(the r03 failure: one doomed warmup ate all four metrics). Proximity goes
+last because its eager input prep pays the per-dispatch RTT floor.
 """
 
 from __future__ import annotations
@@ -75,38 +76,51 @@ def _synthetic_cts(ctx, batch, n):
 
 
 def build_multiply_fns(n=4096, batch=256):
-    """The two production paths: op-by-op BEHZ with the XLA four-step NTT
-    ('four') and with the Pallas VMEM NTT kernel ('vmem')."""
+    """Production mult+relin variants, all on the op-by-op BEHZ graph with
+    the XLA four-step NTT (the round-4 A/B winner — the Pallas VMEM NTT
+    loses on kernel-boundary materialization, the fused mega-kernel is
+    demoted; scripts/r4_*.py):
+
+      dual_b128 — TWO independent 128-batch chains in one jit call (ILP:
+                  overlapping chains measured ~9% faster per element than
+                  one 256-batch chain; larger batches/more chains regress)
+      single_b256 — the classic single-chain form, for the record
+    """
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
     from pplp_tpu.bfv.behz import RnsMultiplier, make_keys_jit, relinearize
 
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
     fns = {}
-    for eng in ("four", "vmem"):
-        try:
-            ctx = BFVContext.build(parms, engine=eng)
-            _sk, rlk = make_keys_jit(ctx, 0)
-            mul = RnsMultiplier(ctx)
-            ct1, ct2 = _synthetic_cts(ctx, batch, n)
-            mr = jax.jit(
-                lambda a, b, ctx=ctx, mul=mul, rlk=rlk: relinearize(
-                    ctx, mul.multiply(a, b), rlk
-                ).polys
-            )
-            fns[eng] = (mr, (ct1, ct2))
-        except Exception as e:  # pragma: no cover - engine-specific fallback
-            _log({"multiply_engine_error": eng, "err": repr(e)[:160]})
+    try:
+        ctx = BFVContext.build(parms, engine="four")
+        _sk, rlk = make_keys_jit(ctx, 0)
+        mul = RnsMultiplier(ctx)
+        mr = lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk).polys
+        ct1, ct2 = _synthetic_cts(ctx, batch, n)
+        fns["single_b256"] = (jax.jit(mr), (ct1, ct2), batch)
+        h = batch // 2
+        d1, d2 = _synthetic_cts(ctx, h, n)
+        d3, d4 = _synthetic_cts(ctx, h, n)
+        dual = jax.jit(lambda a, b, c, d: (mr(a, b), mr(c, d)))
+        fns["dual_b128"] = (dual, (d1, d2, d3, d4), batch)
+    except Exception as e:  # pragma: no cover
+        _log({"multiply_engine_error": "four", "err": repr(e)[:160]})
     return fns
 
 
-def measure_multiply(fns, batch=256, budget_s=120.0):
+def measure_multiply(fns, budget_s=120.0):
     """Interleaved amortized windows -> (value, results, healthy: bool).
 
     'healthy' comes from a FRESH-subprocess canary (the in-process canary
     only reads this process's dispatch-RTT floor once big graphs have run —
     round-4 finding, docs/performance_model.md)."""
-    timed = timed_windows_multi(fns, windows=8, budget_s=budget_s)
-    results = {k: (batch / b, batch / m) for k, (b, m) in timed.items()}
+    timed = timed_windows_multi(
+        {k: (f, a) for k, (f, a, _) in fns.items()},
+        windows=8, budget_s=budget_s,
+    )
+    results = {
+        k: (fns[k][2] / b, fns[k][2] / m) for k, (b, m) in timed.items()
+    }
     winner = max(results, key=lambda k: results[k][0])
     canary = fresh_canary_us()
     healthy = 0 <= canary < 1200
@@ -193,7 +207,7 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, budget_s=60.0):
 
 def main():
     # Total wall budget: the driver runs this at round end; never exceed it.
-    budget_s = float(os.environ.get("PPLP_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("PPLP_BENCH_BUDGET_S", "540"))
     t_start = time.perf_counter()
 
     def remaining():
@@ -237,9 +251,9 @@ def main():
 
     # Secondary metrics each get an explicit slice of what's left; order per
     # VERDICT r3 (DGK and proximity must never be starved again).
-    if remaining() > 75 and os.environ.get("PPLP_BENCH_DGK") != "0":
+    if remaining() > 40 and os.environ.get("PPLP_BENCH_DGK") != "0":
         try:
-            rate = bench_dgk(budget_s=min(60.0, remaining() - 15))
+            rate = bench_dgk(budget_s=min(60.0, max(20.0, remaining() - 15)))
             _log(
                 {
                     "metric": "dgk_comparisons_per_s_k2048",
@@ -252,10 +266,27 @@ def main():
     else:
         _log({"skipped": "dgk", "reason": "bench time budget"})
 
-    if remaining() > 75:
+    if remaining() > 40:
+        try:
+            ntt_rate, ntt_med = bench_ntt(budget_s=min(60.0, max(20.0, remaining() - 15)))
+            _log(
+                {
+                    "metric": "ntt_transforms_per_s_n8192_3primes",
+                    "value": round(ntt_rate, 1),
+                    "median": round(ntt_med, 1),
+                    "unit": "transforms/s",
+                    "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
+                }
+            )
+        except Exception as e:
+            _log({"skipped": "ntt", "reason": repr(e)[:160]})
+    else:
+        _log({"skipped": "ntt", "reason": "bench time budget"})
+
+    if remaining() > 40:
         try:
             checks, secs = bench_proximity_pipeline(
-                budget_s=min(60.0, remaining() - 15)
+                budget_s=min(60.0, max(20.0, remaining() - 15))
             )
             _log(
                 {
@@ -270,23 +301,6 @@ def main():
             _log({"skipped": "proximity_pipeline", "reason": repr(e)[:160]})
     else:
         _log({"skipped": "proximity_pipeline", "reason": "bench time budget"})
-
-    if remaining() > 75:
-        try:
-            ntt_rate, ntt_med = bench_ntt(budget_s=min(60.0, remaining() - 15))
-            _log(
-                {
-                    "metric": "ntt_transforms_per_s_n8192_3primes",
-                    "value": round(ntt_rate, 1),
-                    "median": round(ntt_med, 1),
-                    "unit": "transforms/s",
-                    "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
-                }
-            )
-        except Exception as e:
-            _log({"skipped": "ntt", "reason": repr(e)[:160]})
-    else:
-        _log({"skipped": "ntt", "reason": "bench time budget"})
 
     # Contaminated-headline retry: if the first multiply measurement never
     # saw a healthy window and budget remains, measure again now.

@@ -35,9 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import modmath as mm
 from ..ops.modmath import m31
 from ..ops.ntt4 import C2
-from ..ops.ntt_vmem import _interpret_default, _ntt_form
+from ..ops.ntt_vmem import _interpret_default
 from ..ops.ntt_vmem import (
-    _bf_ct, _bf_ct_split, _bf_ct_z, _bf_gs, _bf_gs_split, _bf_gs_z,
+    _bf_ct_split, _bf_ct_z, _bf_gs_split, _bf_gs_z,
     _expand_q, _vtables,
 )
 from .behz import M_TILDE, KSwitchKeys, RnsMultiplier
@@ -135,60 +135,36 @@ def _build_const_arrays(mul: RnsMultiplier) -> dict[str, np.ndarray]:
 
 
 def _ntt_fwd(x, tabs, q, c1, logc1):
-    """Forward vmem-order NTT over the limb axis; canonical in, lazy (<2q) out."""
+    """Forward vmem-order NTT over the limb axis; canonical in, lazy (<2q) out.
+
+    One formulation only (the round-2 "v2" split/z form): the round-4 prune
+    of the PPLP_NTT_FORM / PPLP_CONV_FORM env matrix (VERDICT r3 #4) — the
+    variant forks never produced a winner and a crypto kernel should have
+    exactly one production form."""
     aw, aws, cw, cws, amf, cmf, twm, twms = tabs
-    if _ntt_form() == "v2":
-        qx = _expand_q(q)
-        for s in range(logc1):
-            t = c1 >> (s + 1)
-            x = _bf_ct_split(x, aw[:, s], aws[:, s], t, qx, c1)
-        x = m31.mulmod_shoup_lazy(x, twm, twms, q)
-        for s in range(7):
-            t = C2 >> (s + 1)
-            x = _bf_gs_z(x, cw[:, s], cws[:, s], cmf[s], t, q, C2, 3)
-        return x  # [0, 2q)
+    qx = _expand_q(q)
     for s in range(logc1):
         t = c1 >> (s + 1)
-        x = _bf_ct(x, aw[:, s], aws[:, s], amf[s], t, q, c1, 2)
+        x = _bf_ct_split(x, aw[:, s], aws[:, s], t, qx, c1)
     x = m31.mulmod_shoup_lazy(x, twm, twms, q)
     for s in range(7):
         t = C2 >> (s + 1)
-        x = _bf_gs(x, cw[:, s], cws[:, s], cmf[s], t, q, C2, 3)
+        x = _bf_gs_z(x, cw[:, s], cws[:, s], cmf[s], t, q, C2, 3)
     return x  # [0, 2q)
 
 
 def _ntt_inv(x, tabs, q, c1, logc1):
     """Inverse (consumes _ntt_fwd order); any <4q in, canonical out."""
     iaw, iaws, icw, icws, ami, cmi, itwm, itwms, icwz, icwzs = tabs
-    if _ntt_form() == "v2":
-        qx = _expand_q(q)
-        for s in range(7):
-            t = 1 << s
-            x = _bf_ct_z(x, icwz[:, s], icwzs[:, s], cmi[s], t, q, C2, 3)
-        x = m31.mulmod_shoup_lazy(x, itwm, itwms, q)
-        for s in range(logc1):
-            t = 1 << s
-            x = _bf_gs_split(x, iaw[:, s], iaws[:, s], t, qx, c1)
-        return m31.csub(x, q)
+    qx = _expand_q(q)
     for s in range(7):
         t = 1 << s
-        x = _bf_ct(x, icw[:, s], icws[:, s], cmi[s], t, q, C2, 3)
+        x = _bf_ct_z(x, icwz[:, s], icwzs[:, s], cmi[s], t, q, C2, 3)
     x = m31.mulmod_shoup_lazy(x, itwm, itwms, q)
     for s in range(logc1):
         t = 1 << s
-        x = _bf_gs(x, iaw[:, s], iaws[:, s], ami[s], t, q, c1, 2)
+        x = _bf_gs_split(x, iaw[:, s], iaws[:, s], t, qx, c1)
     return m31.csub(x, q)
-
-
-def _conv_form() -> str:
-    import os
-
-    return os.environ.get("PPLP_CONV_FORM", "shoup")
-
-
-def _reduce96(z0, z1, z2, q, mu_lo, mu_hi):
-    r12 = m31.reduce64(z1, z2, q, mu_lo, mu_hi)
-    return m31.reduce64(z0, r12, q, mu_lo, mu_hi)
 
 
 def _reduce32u(x, q, mu_hi):
@@ -218,39 +194,13 @@ def _accum_shoup(y, w, ws, qd, mu_hi):
     return _reduce32u(acc, qd, mu_hi)
 
 
-def _accum96(y, conv_arr, qd, mu_lo, mu_hi):
-    """sum_i y[:, i] * conv[i] mod q_d. y: [T, S, c1, C2] -> [T, D, c1, C2].
-
-    conv_arr: [S, D, 1, 1]. Exact 96-bit column accumulation (S * (2^30)^2
-    stays below carry headroom for S <= 16)."""
-    S = conv_arr.shape[0]
-    z0 = z1 = z2 = None
-    for i in range(S):
-        yi = y[:, i : i + 1]
-        lo, hi = mm.mul32(yi, conv_arr[i])
-        if z0 is None:
-            z0, z1, z2 = lo, hi, jnp.zeros_like(lo)
-        else:
-            z0 = z0 + lo
-            c0 = (z0 < lo).astype(jnp.uint32)
-            z1n = z1 + hi
-            c1b = (z1n < hi).astype(jnp.uint32)
-            z1 = z1n + c0
-            c1b = c1b + (z1 < z1n).astype(jnp.uint32)
-            z2 = z2 + c1b
-    return _reduce96(z0, z1, z2, qd, mu_lo, mu_hi)
-
-
 def _to_bsk(x_q, kc, mt_ints):
     """Base extension Q -> B_sk with the m_tilde Montgomery correction.
 
     Mirrors RnsMultiplier._to_bsk (same constants, limb axis at -3)."""
     conv_q_to_mtilde, neg_inv_q_mtilde = mt_ints
     y = m31.mulmod_shoup(x_q, kc.mqh_w, kc.mqh_ws, kc.qq)
-    if _conv_form() == "shoup":
-        x_bsk = _accum_shoup(y, kc.cqb_w, kc.cqb_ws, kc.qb, kc.mu_b_hi)
-    else:
-        x_bsk = _accum96(y, kc.conv_q_to_bsk, kc.qb, kc.mu_b_lo, kc.mu_b_hi)
+    x_bsk = _accum_shoup(y, kc.cqb_w, kc.cqb_ws, kc.qb, kc.mu_b_hi)
     mask = jnp.uint32(M_TILDE - 1)
     acc = None
     for i, cmt in enumerate(conv_q_to_mtilde):
@@ -267,11 +217,7 @@ def _fast_floor(e_q, e_b, kc):
     te_q = m31.mulmod_shoup(e_q, kc.tq_w, kc.tq_ws, kc.qq)
     te_b = m31.mulmod_shoup(e_b, kc.tb_w, kc.tb_ws, kc.qb)
     y = m31.mulmod_shoup(te_q, kc.qhi_w, kc.qhi_ws, kc.qq)
-    if _conv_form() == "shoup":
-        conv = _accum_shoup(y, kc.cqbp_w, kc.cqbp_ws, kc.qb, kc.mu_b_hi)
-    else:
-        conv = _accum96(y, kc.conv_q_to_bsk_plain, kc.qb, kc.mu_b_lo,
-                        kc.mu_b_hi)
+    conv = _accum_shoup(y, kc.cqbp_w, kc.cqbp_ws, kc.qb, kc.mu_b_hi)
     return m31.mulmod_shoup(
         m31.sub(te_b, conv, kc.qb), kc.iqb_w, kc.iqb_ws, kc.qb
     )
@@ -281,16 +227,10 @@ def _sk_to_q(w_bsk, kc, l, msk_half):
     w_b = w_bsk[:, :l]
     w_msk = w_bsk[:, l : l + 1]
     y = m31.mulmod_shoup(w_b, kc.bhat_w, kc.bhat_ws, kc.qb_b)
-    if _conv_form() == "shoup":
-        conv_q = _accum_shoup(y, kc.cbq_w, kc.cbq_ws, kc.qq, kc.mu_q_hi)
-        conv_msk = _accum_shoup(
-            y, kc.cbm_w, kc.cbm_ws, kc.q_msk, kc.mu_msk_hi
-        )
-    else:
-        conv_q = _accum96(y, kc.conv_b_to_q, kc.qq, kc.mu_q_lo, kc.mu_q_hi)
-        conv_msk = _accum96(
-            y, kc.conv_b_to_msk, kc.q_msk, kc.mu_msk_lo, kc.mu_msk_hi
-        )
+    conv_q = _accum_shoup(y, kc.cbq_w, kc.cbq_ws, kc.qq, kc.mu_q_hi)
+    conv_msk = _accum_shoup(
+        y, kc.cbm_w, kc.cbm_ws, kc.q_msk, kc.mu_msk_hi
+    )
     diff = m31.sub(conv_msk, w_msk, kc.q_msk)
     alpha = m31.mulmod_shoup(diff, kc.imm_w, kc.imm_ws, kc.q_msk)
     am = m31.mulmod_shoup(

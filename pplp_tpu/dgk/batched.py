@@ -113,13 +113,20 @@ class DGKBatch:
     def blind_distance_batch(self, c1, c2, c3, xb: int, yb: int,
                              s_blind: int, cz, cr):
         """Server side of the DGK pplp flow, batched:
-        ((c1 * c2^xb * c3^yb)^s) * cz * cr  over [B, D] ciphertexts."""
+        ((c1 * c2^xb * c3^yb)^s) * cz * cr  over [B, D] ciphertexts.
+
+        The whole chain runs in the Montgomery domain: 5 conversions in, one
+        out, products stay in-domain (mont(aR, bR) = abR) — vs a to/from
+        round trip inside every powmod/mulmod (round-4: saves ~10 of ~95
+        2048-bit Montgomery products per call)."""
         mc = self.mc
-        t2 = mc.powmod_shared_exp(c2, xb)
-        t3 = mc.powmod_shared_exp(c3, yb)
-        acc = mc.mulmod(mc.mulmod(c1, t2), t3)
-        acc = mc.powmod_shared_exp(acc, s_blind)
-        return mc.mulmod(mc.mulmod(acc, cz), cr)
+        c1m, c2m, c3m = mc.to_mont(c1), mc.to_mont(c2), mc.to_mont(c3)
+        czm, crm = mc.to_mont(cz), mc.to_mont(cr)
+        t2 = mc.powmod_shared_exp_mont(c2m, xb)
+        t3 = mc.powmod_shared_exp_mont(c3m, yb)
+        acc = mc.mont_mul(mc.mont_mul(c1m, t2), t3)
+        acc = mc.powmod_shared_exp_mont(acc, s_blind)
+        return mc.from_mont(mc.mont_mul(mc.mont_mul(acc, czm), crm))
 
 
 # -- device decrypt table ------------------------------------------------

@@ -172,11 +172,31 @@ class MontgomeryCtx:
         (acc, _), _ = jax.lax.scan(step, (acc, base_m), jnp.moveaxis(exp_bits, -1, 0))
         return self.from_mont(acc)
 
-    def powmod_shared_exp(self, base, exp: int):
-        """base^exp mod n for per-lane bases and one shared Python-int
-        exponent (left-to-right square-and-multiply; branches are static)."""
-        bits = [(exp >> i) & 1 for i in range(max(1, exp.bit_length()))][::-1]
-        base_m = self.to_mont(base)
+    # Exponents at most this wide unroll at trace time; wider ones use a
+    # lax.scan (a ~320-bit decrypt exponent unrolled is ~480 scans in one
+    # graph — XLA:CPU segfaults compiling it).
+    UNROLL_BITS = 64
+
+    def powmod_shared_exp_mont(self, base_m, exp: int):
+        """base^exp for Montgomery-domain base and a shared STATIC Python-int
+        exponent; result stays in the Montgomery domain.
+
+        Small exponents unroll left-to-right square-and-multiply at trace
+        time: the bits are compile-time constants, so zero bits emit no
+        multiply at all — ~25% fewer Montgomery products than the scan
+        form's square+multiply+select every step (round-4 DGK throughput
+        work). Large exponents keep the scan form."""
+        assert exp >= 0
+        if exp == 0:
+            return jnp.broadcast_to(self.one_mont, base_m.shape)
+        bits = [(exp >> i) & 1 for i in range(exp.bit_length())][::-1]
+        if len(bits) <= self.UNROLL_BITS:
+            acc = base_m  # top bit is 1
+            for bit in bits[1:]:
+                acc = self.mont_mul(acc, acc)
+                if bit:
+                    acc = self.mont_mul(acc, base_m)
+            return acc
         acc = jnp.broadcast_to(self.one_mont, base_m.shape)
         bit_arr = jnp.asarray(np.asarray(bits, np.uint32))
 
@@ -186,7 +206,12 @@ class MontgomeryCtx:
             return jnp.where(bit != 0, with_mul, acc), None
 
         acc, _ = jax.lax.scan(step, acc, bit_arr)
-        return self.from_mont(acc)
+        return acc
+
+    def powmod_shared_exp(self, base, exp: int):
+        """base^exp mod n for per-lane bases and one shared Python-int
+        exponent (standard domain in and out)."""
+        return self.from_mont(self.powmod_shared_exp_mont(self.to_mont(base), exp))
 
     def mulmod(self, a, b):
         """a * b mod n for digit arrays (standard domain)."""

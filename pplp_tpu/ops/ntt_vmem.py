@@ -269,47 +269,30 @@ def _bf_ct_z(x, wz, wzs, hi, t, q, rows, axis):
     return jnp.where(hi_b, zu + q * 2 - z, z + zd)
 
 
-def _ntt_form() -> str:
-    import os
-
-    return os.environ.get("PPLP_NTT_FORM", "v2")
-
-
-def _kernel(direction, c1, logc1, form, q_ref,
+def _kernel(direction, c1, logc1, q_ref,
             aw, aws, cw, cws, am, cm, twm, twms, x_ref, o_ref):
+    """One formulation only (the "v2" split/z stage forms): the round-4
+    prune of the PPLP_NTT_FORM env matrix (VERDICT r3 #4)."""
     q = q_ref[pl.program_id(0)]
     tile_b = x_ref.shape[1]
     x = x_ref[0].reshape(tile_b, c1, C2)
-    v2 = form == "v2"
     if direction == "fwd":
         for s in range(logc1):
             t = c1 >> (s + 1)
-            if v2:
-                x = _bf_ct_split(x, aw[0, s], aws[0, s], t, q, c1)
-            else:
-                x = _bf_ct(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
+            x = _bf_ct_split(x, aw[0, s], aws[0, s], t, q, c1)
         x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         for s in range(_LOG_C2):
             t = C2 >> (s + 1)
-            if v2:
-                x = _bf_gs_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
-            else:
-                x = _bf_gs(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            x = _bf_gs_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
     else:
         for s in range(_LOG_C2):
             t = 1 << s
-            if v2:
-                # cw/cws carry the z-tables (icwz/icwzs) in v2.
-                x = _bf_ct_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
-            else:
-                x = _bf_ct(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
+            # cw/cws carry the z-tables (icwz/icwzs).
+            x = _bf_ct_z(x, cw[0, s], cws[0, s], cm[s], t, q, C2, 2)
         x = m31.mulmod_shoup_lazy(x, twm[0], twms[0], q)
         for s in range(logc1):
             t = 1 << s
-            if v2:
-                x = _bf_gs_split(x, aw[0, s], aws[0, s], t, q, c1)
-            else:
-                x = _bf_gs(x, aw[0, s], aws[0, s], am[s], t, q, c1, 1)
+            x = _bf_gs_split(x, aw[0, s], aws[0, s], t, q, c1)
     o_ref[0] = m31.csub(x, q).reshape(tile_b, c1 * C2)
 
 
@@ -340,17 +323,13 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
     tile_b = cands[0] if cands else Bp
     xl = jnp.swapaxes(xb, 0, 1)  # [L, Bp, n]
 
-    form = _ntt_form()
     if direction == "fwd":
         aw, aws, cw, cws = vt.aw, vt.aws, vt.cw, vt.cws
         am, cm = vt.amask[0], vt.cmask[0]
         twm, twms = tb.tw, tb.tws
     else:
         aw, aws = vt.iaw, vt.iaws
-        if form == "v2":
-            cw, cws = vt.icwz, vt.icwzs
-        else:
-            cw, cws = vt.icw, vt.icws
+        cw, cws = vt.icwz, vt.icwzs
         am, cm = vt.amask[1], vt.cmask[1]
         twm, twms = tb.itw, tb.itws
 
@@ -371,7 +350,7 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
         out_specs=spec_x,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, direction, c1, tb.logc1, form),
+        functools.partial(_kernel, direction, c1, tb.logc1),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
         compiler_params=pltpu.CompilerParams(

@@ -97,7 +97,7 @@ def main():
                           "s": round(time.time() - t0, 1)}), flush=True)
 
     t0 = time.time()
-    timed = timed_windows_multi(fns, windows=6, inner=2, budget_s=180)
+    timed = timed_windows_multi(fns, windows=6, budget_s=180)
     for k, (best, med) in sorted(timed.items(), key=lambda kv: -kv[1][0]):
         print(json.dumps({k: {
             "best_ms": round(best * 1e3, 3),
