@@ -196,9 +196,15 @@ def bench_ntt(n=8192, n_limbs=3, batch=1024, budget_s=60.0):
             bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
             x = bits % q  # mild bias irrelevant for benchmarking
             fwd = jax.jit(lambda v, _tb=tb: ntt.forward(v, _tb))
+            # Warm here so one engine's compile failure only drops that
+            # engine (timed_windows_multi warms inside, where a crash
+            # would lose the whole metric).
+            jax.block_until_ready(fwd(x))
             fns[engine] = (fwd, (x,))
         except Exception as e:  # pragma: no cover - engine-specific fallback
-            _log({"ntt_engine_error": engine, "err": repr(e)[:120]})
+            _log({"ntt_engine_error": engine, "err": repr(e)[:160]})
+    if not fns:
+        raise RuntimeError("no NTT engine compiled")
     timed = timed_windows_multi(fns, windows=6, budget_s=budget_s)
     return max(
         (batch * n_limbs / b, batch * n_limbs / m) for b, m in timed.values()

@@ -364,10 +364,19 @@ def _run(direction, x, tb: FourStepTables, tile_b: int, interpret=None):
     return out.reshape(x.shape)
 
 
-def forward_vmem(x, tb: FourStepTables, tile_b: int = 32, interpret=None):
+def _default_tile_b(n: int) -> int:
+    """Batch tile sized to the ~16MB scoped-VMEM stack budget: 32 rows at
+    n<=4096 fits; n=8192 at 32 rows measured 58KB OVER the limit (Mosaic
+    compile OOM), so halve the tile as n doubles."""
+    return max(8, min(32, (32 * 4096) // n))
+
+
+def forward_vmem(x, tb: FourStepTables, tile_b: int | None = None,
+                 interpret=None):
     """x: [..., L, n] canonical residues -> spectra (internal vmem order)."""
-    return _run("fwd", x, tb, tile_b, interpret)
+    return _run("fwd", x, tb, tile_b or _default_tile_b(tb.n), interpret)
 
 
-def inverse_vmem(x, tb: FourStepTables, tile_b: int = 32, interpret=None):
-    return _run("inv", x, tb, tile_b, interpret)
+def inverse_vmem(x, tb: FourStepTables, tile_b: int | None = None,
+                 interpret=None):
+    return _run("inv", x, tb, tile_b or _default_tile_b(tb.n), interpret)

@@ -85,14 +85,17 @@ def pack_key(bd: int, w: int, w_len: int) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _keys_chunk_fn(w_len: int, chunk: int):
-    """One jitted executable per (w_len, chunk): all per-radius variation
-    (s, w, r, start, limit) is traced scalars, so a whole radius sweep
-    dispatches through a single compile. This matters on remote-tunnel
-    backends where every eager op costs a compile round-trip."""
+@functools.lru_cache(maxsize=4)
+def _keys_chunk_fn(chunk: int):
+    """ONE jitted executable per chunk size: all per-run variation (s, w,
+    r, start, limit, and w_len) is traced scalars, so every radius of a
+    sweep — and every fresh blinding — dispatches through a single compile.
+    This matters on remote-tunnel backends where each compile costs a
+    multi-second round trip (round-4: w_len baked into the trace meant a
+    recompile whenever the blinding changed)."""
 
     @jax.jit
-    def run(s, w, r_lo, start, limit):
+    def run(s, w, r_lo, start, limit, w_len):
         di = start + jnp.arange(chunk, dtype=jnp.uint32)
         # Clamp the tail to the last valid di: the repeated key is already
         # in the filter, and OR-scatter inserts are idempotent.
@@ -105,11 +108,14 @@ def _keys_chunk_fn(w_len: int, chunk: int):
 
         bd_lo, bd_hi = mul32(s, add_lo)
         bd_hi = bd_hi + s * add_hi
-        # key = (bd << w_len) | w.
-        if w_len == 0:
-            return bd_lo | w, bd_hi
+        # key = (bd << w_len) | w.  w_len = bitlen(w) is 0 only when w = 0,
+        # so the OR with w is correct in every branch; the complementary
+        # shift is clamped to 31 and masked out at w_len = 0 (shift-by-32
+        # is undefined in XLA).
         klo = (bd_lo << w_len) | w
-        khi = (bd_hi << w_len) | (bd_lo >> (32 - w_len))
+        comp = jnp.minimum(jnp.uint32(32) - w_len, jnp.uint32(31))
+        spill = jnp.where(w_len > 0, bd_lo >> comp, jnp.uint32(0))
+        khi = (bd_hi << w_len) | spill
         return klo, khi
 
     return run
@@ -124,13 +130,21 @@ def blind_distance_keys(blinding: Blinding, sq_radius: int, chunk: int = 1 << 20
     chunk is padded by clamping di — idempotent under BF insert); ``count``
     is how many leading entries are fresh keys. Fixed shapes + traced
     scalars mean one compiled executable covers every radius of a sweep.
+
+    The chunk is the SAME for every radius (round-4: sizing it to
+    next_pow2(sq_radius) recompiled the key-gen and insert executables at
+    every radius — ~25-45 s per compile through the tunnel dominated the
+    whole tc/ts sweep, d_setBF 40 s at r=256). Small radii pad up to one
+    chunk; the scatter is idempotent and the calls pipeline, so padding
+    costs only device time (~ms).
     """
-    chunk = min(chunk, 1 << max(4, (sq_radius - 1).bit_length()))
-    fn = _keys_chunk_fn(blinding.w_len, chunk)
+    chunk = min(chunk, 1 << 16)
+    fn = _keys_chunk_fn(chunk)
     s = jnp.uint32(blinding.s)
     w = jnp.uint32(blinding.w)
+    w_len = jnp.uint32(blinding.w_len)
     r_lo = jnp.uint32(blinding.r & 0xFFFFFFFF)
     limit = jnp.uint32(sq_radius)
     for start in range(0, sq_radius, chunk):
-        klo, khi = fn(s, w, r_lo, jnp.uint32(start), limit)
+        klo, khi = fn(s, w, r_lo, jnp.uint32(start), limit, w_len)
         yield klo, khi, min(chunk, sq_radius - start)

@@ -261,16 +261,27 @@ def _chain_contains_fn(mixed: bool, sizes: tuple):
 
 @functools.lru_cache(maxsize=16)
 def _pack_bits_fn(m: int):
-    """Device-side little-endian packbits (matches np.packbits bitorder)."""
-    pad = (-m) % 8
+    """Device-side little-endian packbits (matches np.packbits bitorder).
+
+    Lane-aligned formulation: the obvious reshape(-1, 8) + weighted sum made
+    the AOT compiler pick a one-element-per-tile layout (a 20 GB allocation
+    for a 5 Mbit table — observed killing the r=512 sweep serialize).
+    Reshaping to [rows, 128] keeps the minor axis a full vector register;
+    byte k of a row gathers lanes k, k+8, ..., k+120 via strided lane
+    slices, all in uint8."""
+    pad = (-m) % 1024
 
     @jax.jit
     def run(bits):
         if pad:
             bits = jnp.concatenate([bits, jnp.zeros(pad, jnp.uint8)])
-        b = bits.reshape(-1, 8).astype(jnp.uint32)
-        weights = jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32)
-        return (b * weights).sum(axis=1).astype(jnp.uint8)
+        b2 = bits.reshape(-1, 128)  # [rows, 128] u8, lane-aligned
+        acc = None
+        for k in range(8):
+            part = b2[:, k::8] << jnp.uint8(k)  # [rows, 16]
+            acc = part if acc is None else acc | part
+        out = acc.reshape(-1)
+        return out[: (m + 7) // 8]
 
     return run
 

@@ -19,7 +19,29 @@ timeout 5400 python -m pplp_tpu.cli ts -p "$PORT" --profile "$PROFILE" \
   --out-leg "$OUT/server_leg.csv" --out-opt "$OUT/server_opt.csv" \
   > "$OUT/ts.log" 2>&1 &
 TS_PID=$!
-sleep 5
+# Wait for the server to actually LISTEN (jax import + bind takes ~30s; a
+# fixed sleep raced and the client died on ConnectionRefused). Poll the
+# kernel socket table — connecting would consume the server's single
+# accept().
+for i in $(seq 1 90); do
+  if python - "$PORT" <<'EOF'
+import sys
+port = int(sys.argv[1])
+hexport = format(port, "04X")
+for path in ("/proc/net/tcp", "/proc/net/tcp6"):
+    try:
+        rows = open(path).read().splitlines()[1:]
+    except OSError:
+        continue
+    for row in rows:
+        f = row.split()
+        if f[3] == "0A" and f[1].rsplit(":", 1)[1] == hexport:
+            sys.exit(0)  # 0A = LISTEN
+sys.exit(1)
+EOF
+  then break; fi
+  sleep 5
+done
 timeout 5400 python -m pplp_tpu.cli tc -p "$PORT" -d 12 -b 40 --profile "$PROFILE" \
   --out-leg "$OUT/client_leg.csv" --out-opt "$OUT/client_opt.csv" \
   > "$OUT/tc.log" 2>&1
