@@ -9,7 +9,7 @@ different contention windows looked 100x apart).
 
 Usage: python scripts/gated_profile.py [minutes] [variant ...]
 Variants: xla fused nontt nttonly prim
-Output: JSONL lines to stdout; summarize with scripts/gated_summary.py.
+Output: JSONL lines to stdout.
 """
 import json
 import os
