@@ -1,11 +1,14 @@
-"""Long-running canary-gated profile of the multiply paths.
+"""Long-running interleaved profile of the multiply paths (+ablations).
 
 Compiles each requested variant once (persistent cache), then measures all
-of them round-robin for the remaining wall budget, recording ONLY windows
-whose canary is healthy both before and after. Cross-variant comparisons are
-then within-window-class and contention-robust — the failure mode that
-poisoned the round-2/3 "Mosaic 4-D cliff" conclusion (variants measured in
-different contention windows looked 100x apart).
+of them round-robin for the remaining wall budget with RTT-amortized
+windows (inner=8 back-to-back calls — round 4: a single dispatch pays a
+~25-30 ms process-local round trip, and the in-process canary only reads
+that floor after warmup, so samples are no longer canary-gated; the
+fresh-subprocess canary is logged per round for chip state).
+Interleaving keeps cross-variant comparisons within the same contention
+climate — the failure mode that poisoned the round-2/3 "Mosaic 4-D cliff"
+conclusion (variants measured in different windows looked 100x apart).
 
 Usage: python scripts/gated_profile.py [minutes] [variant ...]
 Variants: xla fused nontt nttonly prim
@@ -22,9 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pplp_tpu.utils.chipstate import (
-    HEALTHY_S, canary_latency, enable_compile_cache,
-)
+from pplp_tpu.utils.chipstate import enable_compile_cache, fresh_canary_us
 
 enable_compile_cache()
 
@@ -37,14 +38,12 @@ def log(**kw):
 
 def build_xla():
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
-    from pplp_tpu.bfv.behz import RnsMultiplier, create_relin_keys, relinearize
-    from pplp_tpu.bfv.keys import KeyGenerator
+    from pplp_tpu.bfv.behz import RnsMultiplier, make_keys_jit, relinearize
     import bench
 
     parms = EncryptionParameters.bfv(N, 1 << 16, profile="tpu")
     ctx = BFVContext.build(parms, engine="four")
-    kg = KeyGenerator(ctx, 0)
-    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(1))
+    _sk, rlk = make_keys_jit(ctx, 0)
     mul = RnsMultiplier(ctx)
     ct1, ct2 = bench._synthetic_cts(ctx, BATCH, N)
     f = jax.jit(lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk))
@@ -55,9 +54,8 @@ def build_fused(mode):
     import pplp_tpu.bfv.behz_fused as bf
     import jax.numpy as jnp
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
-    from pplp_tpu.bfv.behz import create_relin_keys
+    from pplp_tpu.bfv.behz import make_keys_jit
     from pplp_tpu.bfv.ciphertext import Ciphertext
-    from pplp_tpu.bfv.keys import KeyGenerator
 
     orig = (bf._ntt_fwd, bf._ntt_inv, bf._to_bsk, bf._fast_floor, bf._sk_to_q)
     if mode == "nontt":
@@ -71,8 +69,7 @@ def build_fused(mode):
 
     parms = EncryptionParameters.bfv(N, 1 << 16, profile="tpu")
     ctx = BFVContext.build(parms, engine="vmem")
-    kg = KeyGenerator(ctx, 0)
-    rlk = create_relin_keys(ctx, kg.secret_key(), jax.random.key(1))
+    _sk, rlk = make_keys_jit(ctx, 0)
     fused = bf.FusedMultiplier(ctx, rlk, tile_b=TILE)
     rng = np.random.default_rng(0)
     qs = np.array([m.value for m in ctx.moduli], np.uint64)[None, :, None]
@@ -149,28 +146,22 @@ def main():
         variants[name] = (f, args)
 
     t_end = time.time() + minutes * 60  # measurement budget AFTER compiles
-    inner = 2
+    inner = int(os.environ.get("PPLP_PROFILE_INNER", "8"))
     stop_file = os.environ.get("PPLP_PROFILE_STOP", "/tmp/b3/stop")
     while time.time() < t_end and not os.path.exists(stop_file):
         for name, (f, args) in variants.items():
-            c0 = canary_latency()
-            if c0 >= HEALTHY_S:
-                log(event="degraded", canary_us=round(c0 * 1e6))
-                time.sleep(5.0)
-                continue
             t0 = time.perf_counter()
+            out = None
             for _ in range(inner):
                 out = f(*args)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / inner
-            c1 = canary_latency()
             log(
                 event="sample", variant=name, s_per_call=round(dt, 6),
                 per_s=round(BATCH / dt, 1),
-                canary_us=[round(c0 * 1e6), round(c1 * 1e6)],
-                clean=bool(c1 < HEALTHY_S),
             )
             time.sleep(0.5)
+        log(event="round_done", fresh_canary_us=fresh_canary_us())
         time.sleep(2.0)
 
 
