@@ -81,19 +81,29 @@ def build_multiply_fns(n=4096, batch=256):
     loses on kernel-boundary materialization, the fused mega-kernel is
     demoted; scripts/r4_*.py):
 
-      dual_b128 — TWO independent 128-batch chains in one jit call (ILP:
+      dual_wide — TWO independent 128-batch chains in one jit call (ILP:
                   overlapping chains measured ~9% faster per element than
-                  one 256-batch chain; larger batches/more chains regress)
+                  one 256-batch chain; more chains/bigger batches regress)
+                  with the width-2 RNS-gadget relinearization (half the
+                  keyswitch NTTs, +5% measured; exactness pinned in
+                  tests/test_multiply.py::test_relinearize_wide_gadget)
+      dual_b128 — same chains with the classic per-limb gadget
       single_b256 — the classic single-chain form, for the record
     """
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
-    from pplp_tpu.bfv.behz import RnsMultiplier, make_keys_jit, relinearize
+    from pplp_tpu.bfv.behz import (
+        RnsMultiplier,
+        create_relin_keys_wide,
+        make_keys_jit,
+        relinearize,
+        relinearize_wide,
+    )
 
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
     fns = {}
     try:
         ctx = BFVContext.build(parms, engine="four")
-        _sk, rlk = make_keys_jit(ctx, 0)
+        sk, rlk = make_keys_jit(ctx, 0)
         mul = RnsMultiplier(ctx)
         mr = lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk).polys
         ct1, ct2 = _synthetic_cts(ctx, batch, n)
@@ -103,6 +113,17 @@ def build_multiply_fns(n=4096, batch=256):
         d3, d4 = _synthetic_cts(ctx, h, n)
         dual = jax.jit(lambda a, b, c, d: (mr(a, b), mr(c, d)))
         fns["dual_b128"] = (dual, (d1, d2, d3, d4), batch)
+        from pplp_tpu.bfv.behz import _digit_groups
+
+        groups = _digit_groups(ctx.L, 2)
+        rlk_w = jax.jit(
+            lambda key: create_relin_keys_wide(ctx, sk, key)[0]
+        )(jax.random.key(2))
+        mrw = lambda a, b: relinearize_wide(
+            ctx, mul.multiply(a, b), rlk_w, groups
+        ).polys
+        dual_w = jax.jit(lambda a, b, c, d: (mrw(a, b), mrw(c, d)))
+        fns["dual_wide"] = (dual_w, (d1, d2, d3, d4), batch)
     except Exception as e:  # pragma: no cover
         _log({"multiply_engine_error": "four", "err": repr(e)[:160]})
     return fns

@@ -454,28 +454,44 @@ class KSwitchKeys:
 RelinKeys = KSwitchKeys  # relin keys are key-switch keys for T = s^2
 
 
+def _digit_groups(k: int, width: int):
+    """Consecutive limb groups for the RNS gadget: width=1 is the classic
+    per-limb gadget; width=2 pairs limbs (digit modulus q_i*q_{i+1})."""
+    return tuple(
+        tuple(range(i, min(i + width, k))) for i in range(0, k, width)
+    )
+
+
 def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key,
-                        inject=None) -> KSwitchKeys:
+                        inject=None, groups=None) -> KSwitchKeys:
     """``inject``: optional list of (a_coeff_res, e_coeff_res) per digit —
-    explicit randomness for known-answer vectors (tests/bfv_oracle.py)."""
+    explicit randomness for known-answer vectors (tests/bfv_oracle.py).
+
+    ``groups``: limb groups of the gadget (default one digit per limb).
+    g_j = 1 mod q_i for i in group j, 0 elsewhere — so in RNS the key's
+    target term is simply the target masked to the group's limbs."""
     from . import sampling
     from .keys import _shoup as sh
 
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     k = ctx.L
+    if groups is None:
+        groups = _digit_groups(k, 1)
     k0_rows, k1_rows = [], []
-    for i in range(k):
+    for gi, group in enumerate(groups):
         if inject is not None:
-            a = ntt.forward(inject[i][0], ctx.tables)
-            e_ntt = ntt.forward(inject[i][1], ctx.tables)
+            a = ntt.forward(inject[gi][0], ctx.tables)
+            e_ntt = ntt.forward(inject[gi][1], ctx.tables)
         else:
             key, ka, ke = jax.random.split(key, 3)
             a = sampling.uniform_rq(ka, ctx)
             e_ntt = ntt.forward(sampling.cbd_poly(ke, ctx), ctx.tables)
         b = p.neg(p.add(p.mulmod_shoup(a, sk.s_ntt, sk.s_shoup, q2), e_ntt, q2), q2)
-        # add g_i * T: only limb i gets the target secret.
-        sel = jnp.zeros((k, 1), jnp.uint32).at[i, 0].set(1)
+        # add g_j * T: only the group's limbs get the target secret.
+        sel = jnp.zeros((k, 1), jnp.uint32)
+        for i in group:
+            sel = sel.at[i, 0].set(1)
         gt = jax.tree.map(lambda v: v * sel, target_ntt)
         b = p.add(b, gt, q2)
         k0_rows.append(b)
@@ -496,6 +512,96 @@ def create_relin_keys(ctx: BFVContext, sk, key, inject=None) -> KSwitchKeys:
     q2 = ctx.tables.q_b(1)
     s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
     return create_kswitch_keys(ctx, sk, s2, key, inject=inject)
+
+
+def create_relin_keys_wide(ctx: BFVContext, sk, key, width: int = 2):
+    """Relin keys over a wider RNS gadget: digits are |c2| mod (q_i..q_j)
+    for consecutive limb groups. Halving the digit count (width=2) halves
+    the keyswitch forward-NTT work — the dominant relin cost — at the price
+    of ~2^28x larger digit magnitude in the noise term, still far inside
+    the budget at the protocol's parameters (digit < 2^56, noise add
+    ~ D*n*digit*B ~ 2^75 vs Delta/2 ~ 2^92 at n=4096, t=2^16).
+    m31 profile only. Returns (keys, groups)."""
+    assert ctx.tables.profile == "m31", "wide gadget: m31 profile only"
+    p = ctx.prof
+    q2 = ctx.tables.q_b(1)
+    s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
+    groups = _digit_groups(ctx.L, width)
+    return create_kswitch_keys(ctx, sk, s2, key, groups=groups), groups
+
+
+def keyswitch_contributions_grouped(ctx: BFVContext, poly, keys: KSwitchKeys,
+                                    groups):
+    """Grouped-digit keyswitch (m31): digit j = |poly| mod prod(q_i, i in
+    group j), CRT-composed from the group's residues and lifted to every
+    limb, then one forward NTT per digit instead of one per limb."""
+    p = ctx.prof
+    tb = ctx.tables
+    q2 = tb.q_b(1)
+    q_col = tb.q[:, None]
+    mu_lo, mu_hi = (m[:, None] for m in tb.mu)
+    moduli = [m.value for m in ctx.moduli]
+    acc0 = acc1 = None
+    for j, group in enumerate(groups):
+        if len(group) == 1:
+            i = group[0]
+            digit = _tslice_limbs(poly, slice(i, i + 1))
+            lifted = p.reduce64(
+                jnp.broadcast_to(digit, poly.shape), jnp.zeros_like(poly),
+                q_col, mu_lo, mu_hi,
+            )
+        else:
+            assert len(group) == 2, "width>2 digits not implemented"
+            i0, i1 = group
+            q0, q1v = moduli[i0], moduli[i1]
+            r0 = poly[..., i0 : i0 + 1, :]
+            r1 = poly[..., i1 : i1 + 1, :]
+            m1 = Modulus(q1v)
+            mu1_lo = jnp.uint32(m1.mu64 & _M32)
+            mu1_hi = jnp.uint32(m1.mu64 >> 32)
+            q1j = jnp.uint32(q1v)
+            # t = (r1 - r0) * q0^{-1} mod q1  (CRT mixing digit).
+            r0m = p.reduce64(r0, jnp.zeros_like(r0), q1j, mu1_lo, mu1_hi)
+            d = p.sub(r1, r0m, q1j)
+            inv01 = pow(q0, -1, q1v)
+            t = p.mulmod_shoup(
+                d, jnp.uint32(inv01), jnp.uint32((inv01 << 32) // q1v), q1j
+            )
+            # x = r0 + q0*t < q0*q1; per limb: x mod q_i =
+            #   (r0 mod q_i) + (q0 mod q_i)*t mod q_i.
+            r0_b = jnp.broadcast_to(r0, poly.shape)
+            r0_all = p.reduce64(r0_b, jnp.zeros_like(poly), q_col, mu_lo, mu_hi)
+            q0w = [q0 % qi for qi in moduli]
+            q0ws = [((q0 % qi) << 32) // qi for qi in moduli]
+            qt = p.mulmod_shoup(
+                jnp.broadcast_to(t, poly.shape),
+                _u32s(q0w)[:, None], _u32s(q0ws)[:, None], q_col,
+            )
+            lifted = p.add(r0_all, qt, q_col)
+        d_ntt = ntt.forward(lifted, tb)
+        t0 = p.mulmod_shoup(
+            d_ntt, jax.tree.map(lambda a: a[j], keys.k0),
+            jax.tree.map(lambda a: a[j], keys.k0_shoup), q2,
+        )
+        t1 = p.mulmod_shoup(
+            d_ntt, jax.tree.map(lambda a: a[j], keys.k1),
+            jax.tree.map(lambda a: a[j], keys.k1_shoup), q2,
+        )
+        acc0 = t0 if acc0 is None else p.add(acc0, t0, q2)
+        acc1 = t1 if acc1 is None else p.add(acc1, t1, q2)
+    return ntt.inverse(acc0, tb), ntt.inverse(acc1, tb)
+
+
+def relinearize_wide(ctx: BFVContext, ct: Ciphertext, rlk: KSwitchKeys,
+                     groups) -> Ciphertext:
+    """Size-3 -> size-2 with the wide-gadget keys from
+    create_relin_keys_wide (same API shape as relinearize)."""
+    assert ct.size == 3 and ct.domain == "coeff"
+    p = ctx.prof
+    q2 = ctx.tables.q_b(1)
+    c0, c1, c2 = ct.polys
+    d0, d1 = keyswitch_contributions_grouped(ctx, c2, rlk, groups)
+    return Ciphertext((p.add(c0, d0, q2), p.add(c1, d1, q2)), "coeff")
 
 
 def make_keys_jit(ctx: BFVContext, seed: int):

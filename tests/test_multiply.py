@@ -137,3 +137,30 @@ def test_multiply_m62_seal_profile_chain():
     assert dec.decrypt(prod3).coeffs[:N] == negacyclic(a, b, T)
     prod2 = relinearize(ctx, prod3, rlk)
     assert dec.decrypt(prod2).coeffs[:N] == negacyclic(a, b, T)
+
+
+def test_relinearize_wide_gadget():
+    """Width-2 RNS gadget relin (round-4 perf lever: half the keyswitch
+    NTTs): decrypts the product exactly, including an odd-L chain where the
+    last digit is a single limb."""
+    from pplp_tpu.bfv.behz import create_relin_keys_wide, relinearize_wide
+
+    for nlimbs in (4, 3):
+        chain = get_primes(28, 2, N) + get_primes(27, 2, N)
+        parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain[:nlimbs])
+        ctx = BFVContext.build(parms)
+        kg = KeyGenerator(ctx, 7 + nlimbs)
+        sk, pk = kg.secret_key(), kg.create_public_key()
+        enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+        mul = RnsMultiplier(ctx)
+        rlk, groups = create_relin_keys_wide(ctx, sk, jax.random.key(11))
+        assert len(groups) == (nlimbs + 1) // 2
+
+        rng = np.random.default_rng(nlimbs)
+        a = [int(v) for v in rng.integers(0, T, size=N)]
+        b = [int(v) for v in rng.integers(0, T, size=N)]
+        ca = enc.encrypt(Plaintext(a), jax.random.key(12))
+        cb = enc.encrypt(Plaintext(b), jax.random.key(13))
+        prod2 = relinearize_wide(ctx, mul.multiply(ca, cb), rlk, groups)
+        assert prod2.size == 2
+        assert dec.decrypt(prod2).coeffs[:N] == negacyclic(a, b, T)
