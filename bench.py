@@ -53,7 +53,6 @@ enable_compile_cache()
 
 # North-star share: 1e6 /s on v5p-16 => per-chip share.
 BASELINE_MULTIPLIES_PER_S = 1_000_000.0 / 16
-BASELINE_TRANSFORMS_PER_S = 40_000.0  # SEAL-class single-thread CPU estimate
 
 
 def _log(obj, stdout=False):
@@ -180,56 +179,107 @@ def bench_dgk(batch=10000, k=2048, t=320, l=16, budget_s=60.0):
 
 
 def bench_proximity_pipeline(n=4096, rows=25, budget_s=60.0):
-    """100k packed encrypted distance checks (BASELINE config[3]):
-    rows x n coefficients, server homo eval + device BEHZ decode."""
+    """100k packed encrypted distance+radius checks WITH BF membership
+    (BASELINE config[3] verbatim): rows x n coefficients, server homo eval +
+    device BEHZ decode + blinded-key formation + Bloom probe — the full
+    protocol tail (`/root/reference/src/demo.cc:154-177`). Returns
+    (total_checks, best_s, median_s)."""
     import numpy as np
 
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
     from pplp_tpu.bfv.encryptor import Encryptor
     from pplp_tpu.bfv.keys import KeyGenerator
-    from pplp_tpu.parallel.pipeline import build_packed_pipeline, make_packed_inputs
+    from pplp_tpu.parallel.pipeline import (
+        build_packed_pipeline_bf,
+        make_packed_inputs,
+    )
+    from pplp_tpu.primitives.bloom import BloomFilter, BloomParameters
 
-    parms = EncryptionParameters.bfv(n, 1 << 20, profile="tpu")
+    t = 1 << 20
+    s_blind, r_blind, w = 501, 99, 0xA5A5
+    w_len = w.bit_length()
+    parms = EncryptionParameters.bfv(n, t, profile="tpu")
     ctx = BFVContext.build(parms, engine="four")
     kg = KeyGenerator(ctx, 0)
     sk, pk = kg.secret_key(), kg.create_public_key()
     enc = Encryptor(ctx, pk)
-    fn = jax.jit(build_packed_pipeline(ctx, sk, 1000, 900, 501, 99))
+
+    # Server-side filter: keys s*(di+r) reduced mod t (the sound reduction —
+    # SURVEY §4 modulus-mismatch note), packed (bd << w_len) | w.
+    bp = BloomParameters(
+        projected_element_count=r_blind * r_blind,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+        index_mode="mixed",
+    )
+    bp.compute_optimal_parameters()
+    bf = BloomFilter(bp)
+    di = np.arange(r_blind * r_blind, dtype=np.uint64)
+    bd_ins = (np.uint64(s_blind) * (di + np.uint64(r_blind))) % np.uint64(t)
+    keys = (bd_ins << np.uint64(w_len)) | np.uint64(w)
+    bf.insert_u64_batch(
+        (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (keys >> np.uint64(32)).astype(np.uint32),
+    )
+
+    fn = jax.jit(
+        build_packed_pipeline_bf(ctx, sk, 1000, 900, s_blind, r_blind, w, w_len)
+    )
+    bits, salts = bf._bits_device(), bf._salts_device()
+    ts = jnp.uint32(bf.table_size)
 
     total = rows * n  # 102400 checks
     rng = np.random.default_rng(0)
     xa = rng.integers(0, 1 << 20, total).astype(np.uint64)
     ya = rng.integers(0, 1 << 20, total).astype(np.uint64)
-    args = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(1))
-    best, _ = timed_windows(fn, *args, windows=8, budget_s=budget_s)
-    return total, best
+    c1, c2, c3 = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(1))
+    best, med = timed_windows(
+        fn, c1, c2, c3, bits, salts, ts, windows=8, budget_s=budget_s
+    )
+    return total, best, med
 
 
-def bench_ntt(n=8192, n_limbs=3, batch=1024, budget_s=60.0):
-    """Best engine wins: the op-by-op 'four' graph vs the vmem Pallas kernel."""
+def bench_ntt(n=8192, n_limbs=3, batch=10240, budget_s=60.0):
+    """NTT transforms/s at the BASELINE-named batch (>=10k rows), measured
+    with the round-5 FETCH-BARRIER SLOPE method (chained calls + host fetch
+    of a probe value; block_until_ready alone is not a reliable execution
+    barrier for single-op graphs on this runtime — chipstate docstring).
+
+    Returns (best/s, median/s, roofline dict). vs_baseline semantics are
+    honest achieved-vs-peak: min_sweeps / sweeps_equiv where sweeps_equiv
+    is the measured time expressed in full-array HBM passes at the
+    MEASURED streaming peak, and min_sweeps=2 is the one-read-one-write
+    lower bound of a perfectly fused transform kernel."""
+    from pplp_tpu.utils.chipstate import measure_stream_peak_gbps, timed_chain_slope
+
+    peak_gbps, peak_med = measure_stream_peak_gbps(reps=3)
     moduli = [Modulus(q) for q in get_primes(30, n_limbs, n)]
-    fns = {}
-    for engine in ("four", "vmem"):
+    best = None
+    for engine in ("four", "four4"):
         try:
             tb = ntt.build_tables(moduli, n, engine=engine)
             q = tb.q[:, None]
-            key = jax.random.key(0)
-            bits = jax.random.bits(key, (batch, n_limbs, n), jnp.uint32)
+            bits = jax.random.bits(jax.random.key(0), (batch, n_limbs, n), jnp.uint32)
             x = bits % q  # mild bias irrelevant for benchmarking
             fwd = jax.jit(lambda v, _tb=tb: ntt.forward(v, _tb))
-            # Warm here so one engine's compile failure only drops that
-            # engine (timed_windows_multi warms inside, where a crash
-            # would lose the whole metric).
-            jax.block_until_ready(fwd(x))
-            fns[engine] = (fwd, (x,))
+            b, m = timed_chain_slope(fwd, x, inners=(4, 12), reps=4)
         except Exception as e:  # pragma: no cover - engine-specific fallback
             _log({"ntt_engine_error": engine, "err": repr(e)[:160]})
-    if not fns:
+            continue
+        if best is None or b < best[1]:
+            best = (engine, b, m)
+    if best is None:
         raise RuntimeError("no NTT engine compiled")
-    timed = timed_windows_multi(fns, windows=6, budget_s=budget_s)
-    return max(
-        (batch * n_limbs / b, batch * n_limbs / m) for b, m in timed.values()
-    )
+    engine, b, m = best
+    array_bytes = 4 * batch * n_limbs * n
+    sweeps = b * peak_gbps * 1e9 / array_bytes
+    roofline = {
+        "engine": engine,
+        "measured_peak_gbps": round(peak_gbps, 1),
+        "sweeps_equiv_at_peak": round(sweeps, 1),
+        "min_sweeps": 2,
+    }
+    return batch * n_limbs / b, batch * n_limbs / m, roofline
 
 
 def main():
@@ -295,14 +345,24 @@ def main():
 
     if remaining() > 40:
         try:
-            ntt_rate, ntt_med = bench_ntt(budget_s=min(60.0, max(20.0, remaining() - 15)))
+            ntt_rate, ntt_med, roofline = bench_ntt(
+                budget_s=min(60.0, max(20.0, remaining() - 15))
+            )
             _log(
                 {
                     "metric": "ntt_transforms_per_s_n8192_3primes",
                     "value": round(ntt_rate, 1),
                     "median": round(ntt_med, 1),
                     "unit": "transforms/s",
-                    "vs_baseline": round(ntt_rate / BASELINE_TRANSFORMS_PER_S, 2),
+                    "batch": 10240,
+                    # Achieved-vs-measured-peak traffic efficiency: the
+                    # BASELINE row asks for speed-of-light; this is the
+                    # fraction of the perfectly-fused 2-sweep bound at the
+                    # MEASURED streaming peak (docs/performance_model.md).
+                    "vs_baseline": round(
+                        roofline["min_sweeps"] / roofline["sweeps_equiv_at_peak"], 3
+                    ),
+                    **roofline,
                 }
             )
         except Exception as e:
@@ -312,14 +372,16 @@ def main():
 
     if remaining() > 40:
         try:
-            checks, secs = bench_proximity_pipeline(
+            checks, secs, med = bench_proximity_pipeline(
                 budget_s=min(60.0, max(20.0, remaining() - 15))
             )
             _log(
                 {
                     "metric": "proximity_checks_per_s_packed_n4096",
                     "value": round(checks / secs, 1),
+                    "median": round(checks / med, 1),
                     "unit": "checks/s",
+                    "includes_bf_probe": True,
                     "batch_checks": checks,
                     "batch_latency_ms": round(secs * 1e3, 2),
                 }

@@ -60,8 +60,11 @@ class NttTables:
     engines use different-but-internally-consistent orderings):
       * "stage"       — whole-array butterfly sweeps (XLA, any profile)
       * "four"        — four-step decomposition (jnp, m31 only)
+      * "four4"       — four-step with radix-4 fused column sweeps (same
+                        tables and output order as "four", bit-identical
+                        spectra, ~half the materialized butterfly sweeps)
       * "vmem"        — transpose-free fused Pallas kernel (step A along
-                        sublanes, step C along lanes; fastest on real TPU)
+                        sublanes, step C along lanes)
     """
 
     n: int
@@ -200,10 +203,10 @@ def _slice_tbl(tbl, lo: int, hi: int):
 
 def forward(x, tb: NttTables):
     """Negacyclic NTT along the trailing axis. x: [..., L, n] residues."""
-    if tb.engine == "four":
+    if tb.engine in ("four", "four4"):
         from . import ntt4
 
-        return ntt4.forward4(x, tb.four_step)
+        return ntt4.forward4(x, tb.four_step, radix4=tb.engine == "four4")
     if tb.engine == "vmem":
         from . import ntt_vmem
 
@@ -231,10 +234,10 @@ def forward(x, tb: NttTables):
 
 def inverse(x, tb: NttTables):
     """Inverse negacyclic NTT (consumes forward's output order)."""
-    if tb.engine == "four":
+    if tb.engine in ("four", "four4"):
         from . import ntt4
 
-        return ntt4.inverse4(x, tb.four_step)
+        return ntt4.inverse4(x, tb.four_step, radix4=tb.engine == "four4")
     if tb.engine == "vmem":
         from . import ntt_vmem
 

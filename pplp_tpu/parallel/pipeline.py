@@ -21,7 +21,13 @@ from ..bfv import Ciphertext, Decryptor, Evaluator, Plaintext
 from ..bfv.encryptor import Encryptor
 from ..utils.hexcodec import uint64_to_hex_string
 
-__all__ = ["build_batched_pipeline", "make_batch_inputs"]
+__all__ = [
+    "build_batched_pipeline",
+    "build_packed_pipeline",
+    "build_packed_pipeline_bf",
+    "make_batch_inputs",
+    "make_packed_inputs",
+]
 
 
 def _plain_pairs(ctx, value: int, full: bool = False):
@@ -88,6 +94,39 @@ def build_packed_pipeline(ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int)
         return decoder.decode_mod_t(step(c1_polys, c2_polys, c3_polys))
 
     return packed
+
+
+def build_packed_pipeline_bf(
+    ctx, sk, xb: int, yb: int, s_blind: int, r_blind: int,
+    w: int, w_len: int, mixed: bool = True,
+):
+    """Full BASELINE config[3] pipeline: homo eval + device decode + blinded
+    BF-key formation + Bloom membership probe, one jittable step.
+
+    The reference ends every proximity check with
+    ``bf.contains((bd << w_len) | w)`` (``/root/reference/src/demo.cc:171-177``);
+    this chains that probe onto the packed decode so the benchmarked step is
+    the whole protocol tail. Returns
+    ``fn(c1_polys, c2_polys, c3_polys, bits, salts, table_size) -> bool [B, n]``
+    where ``bits``/``salts``/``table_size`` come from a
+    :class:`~pplp_tpu.primitives.bloom.BloomFilter`'s device views, so filter
+    contents change without recompiling. Requires t < 2^30 and 0 < w_len < 32.
+    """
+    from ..primitives.bloom import _indices
+
+    assert 0 < w_len < 32
+    step = build_packed_pipeline(ctx, sk, xb, yb, s_blind, r_blind)
+
+    def fn(c1_polys, c2_polys, c3_polys, bits, salts, table_size):
+        bd = step(c1_polys, c2_polys, c3_polys)  # [B, n] u32 mod t
+        # key = (bd << w_len) | w as u64 split into u32 words (w < 2^w_len).
+        klo = (bd << jnp.uint32(w_len)) | jnp.uint32(w)
+        khi = bd >> jnp.uint32(32 - w_len)
+        idx = _indices(klo.ravel(), khi.ravel(), salts, table_size, mixed)
+        near = jnp.all(bits[idx] != 0, axis=0)
+        return near.reshape(bd.shape)
+
+    return fn
 
 
 def make_packed_inputs(ctx, encryptor: Encryptor, xa, ya, key):

@@ -84,7 +84,6 @@ def pack_key(bd: int, w: int, w_len: int) -> int:
     return ((int(bd) << w_len) | w) & _M64
 
 
-@functools.lru_cache(maxsize=16)
 @functools.lru_cache(maxsize=4)
 def _keys_chunk_fn(chunk: int):
     """ONE jitted executable per chunk size: all per-run variation (s, w,

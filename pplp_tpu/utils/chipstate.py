@@ -148,6 +148,10 @@ def timed_windows_multi(
     dominates (round-4 finding; a 3.4 ms kernel measures 27 ms at inner=1).
     Returns {name: (best, median)} seconds/call.
     """
+    # Budget clock starts BEFORE warmup/calibration so a slow variant set
+    # cannot overrun the caller's wall-budget slice (ADVICE r4): the window
+    # loop still guarantees >=1 window per variant once reached.
+    t_start = time.perf_counter()
     for fn, args in fns.values():  # warmup/compile
         jax.block_until_ready(fn(*args))
     inners = {}
@@ -162,7 +166,6 @@ def timed_windows_multi(
         jax.block_until_ready(out)
         inners[name] = _calibrate_inner((time.perf_counter() - t0) / 4)
     times = {name: [] for name in fns}
-    t_start = time.perf_counter()
     rounds = 0
     while rounds < windows:
         if time.perf_counter() - t_start > budget_s and all(
@@ -184,6 +187,65 @@ def timed_windows_multi(
         ts.sort()
         out[name] = (ts[0], ts[len(ts) // 2])
     return out
+
+
+def timed_chain_slope(fn, x0, inners=(16, 64), reps=5, gap_s=0.25, extra=()):
+    """(best, median) per-call seconds via the FETCH-BARRIER SLOPE method.
+
+    Round-5 finding (scripts/r5_sync_probe.py): on this runtime,
+    ``block_until_ready`` is NOT a reliable execution barrier for small or
+    simple programs — repeated same-argument dispatches of a 256 MiB copy
+    measured 0.015-0.6 ms/call across runs (35 TB/s..640 GB/s), while a
+    probe value FETCHED from the final buffer of a chained sequence always
+    gives consistent physics (~640 GB/s streaming). Method:
+
+      * chain calls (z = fn(z, *extra)) so no dispatch can be elided,
+      * end each timed window by fetching a scalar derived from the final
+        buffer (device->host data cannot arrive before it exists),
+      * take the slope of wall time between two chain lengths, cancelling
+        the ~25-50 ms constant dispatch/RTT overhead that swamps small
+        windows.
+
+    Requires fn's output to be a valid input (same shape/dtype/domain).
+    For large multi-op graphs (e.g. the multiply, >10 ms/call) the plain
+    ``timed_windows`` amortization agrees with this method; for single-op
+    graphs ONLY this method is trustworthy."""
+    probe = jax.jit(lambda a: a.ravel()[:8].astype(jnp.uint32).sum())
+    z = fn(x0, *extra)
+    int(probe(z))  # warm both executables
+    slopes = []
+    for _ in range(reps):
+        ts = {}
+        for n in inners:
+            z = x0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                z = fn(z, *extra)
+            int(probe(z))
+            ts[n] = time.perf_counter() - t0
+        slopes.append((ts[inners[1]] - ts[inners[0]]) / (inners[1] - inners[0]))
+        time.sleep(gap_s)
+    slopes.sort()
+    return slopes[0], slopes[len(slopes) // 2]
+
+
+def measure_stream_peak_gbps(mib: int = 256, reps: int = 3) -> tuple[float, float]:
+    """Measured streaming speed-of-light (GB/s): best of chained copyadd
+    (1R+1W) and saxpy (2R+1W) at ``mib`` working set, fetch-barrier slope.
+    Returns (best, median_of_best_kernel)."""
+    elems = mib * (1 << 20) // 4
+    x = jnp.arange(elems, dtype=jnp.uint32).reshape(-1, 1024)
+    copyadd = jax.jit(lambda a: a + jnp.uint32(1))
+    saxpy = jax.jit(lambda a, b: a * jnp.uint32(3) + b)
+    best = (0.0, 0.0)
+    for fn, nbytes, extra, inners in (
+        (copyadd, 2 * 4 * elems, (), (32, 128)),
+        (saxpy, 3 * 4 * elems, (x,), (32, 96)),
+    ):
+        b, m = timed_chain_slope(fn, x, inners=inners, reps=reps, extra=extra)
+        if nbytes / b / 1e9 > best[0]:
+            best = (nbytes / b / 1e9, nbytes / m / 1e9)
+    return best
 
 
 def timed_windows(

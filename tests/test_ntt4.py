@@ -2,6 +2,7 @@
 stage-sweep engine (same math, different internal spectrum order)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -70,3 +71,24 @@ def test_batched_jit():
     x = jnp.asarray(_rand(rng, moduli, n, batch=(3,)).astype(np.uint32))
     f = jax.jit(lambda v: ntt4.inverse4(ntt4.forward4(v, tb4), tb4))
     assert (np.asarray(f(x)) == np.asarray(x)).all()
+
+
+def test_radix4_bit_identical_to_radix2():
+    # The radix-4 fused column sweeps perform the same multiplies in the
+    # same order as the radix-2 loops, so spectra and inverses must be
+    # BIT-identical (covers odd/even logc1 and the tail-stage paths).
+    from pplp_tpu.ops import ntt
+    from pplp_tpu.ops.primes import Modulus, get_primes
+
+    for n in (256, 512, 4096):
+        moduli = [Modulus(q) for q in get_primes(30, 2, n)]
+        t2 = ntt.build_tables(moduli, n, engine="four")
+        t4 = ntt.build_tables(moduli, n, engine="four4")
+        rng = np.random.default_rng(0)
+        q = np.array([m.value for m in moduli], np.uint64)[:, None]
+        x = jnp.asarray((rng.integers(0, 1 << 62, (2, 2, n)) % q).astype(np.uint32))
+        f2, f4 = ntt.forward(x, t2), ntt.forward(x, t4)
+        assert (np.asarray(f2) == np.asarray(f4)).all()
+        i2, i4 = ntt.inverse(f2, t2), ntt.inverse(f4, t4)
+        assert (np.asarray(i2) == np.asarray(i4)).all()
+        assert (np.asarray(i4) == np.asarray(x)).all()

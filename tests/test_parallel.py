@@ -187,3 +187,79 @@ def test_distributed_ntt_matches_four_step():
     prod = pointwise_mul_dist(jax.jit(fwd)(xv), jax.jit(fwd)(yv), tb4)
     got = flat_view(jax.jit(inv)(prod))
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_packed_pipeline_bf_100k_checks():
+    # BASELINE config[3] verbatim: 100k encrypted distance+radius checks WITH
+    # BF membership, pinned against the host oracle (clear blind distance ->
+    # key -> filter probe). Mirrors the reference's protocol tail
+    # (/root/reference/src/demo.cc:154-177) with the sound mod-t reduction.
+    from pplp_tpu.parallel.pipeline import (
+        build_packed_pipeline_bf,
+        make_packed_inputs,
+    )
+    from pplp_tpu.primitives.bloom import BloomFilter, BloomParameters
+
+    ctx = make_ctx()
+    kg = KeyGenerator(ctx, 33)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc = Encryptor(ctx, pk)
+    xb, yb, s_blind, r_blind, w = 1000, 900, 501, 99, 0xA5A5
+    w_len = w.bit_length()
+
+    bp = BloomParameters(
+        projected_element_count=r_blind * r_blind,
+        false_positive_probability=1e-4,
+        random_seed=0xA5A5A5A5,
+        index_mode="mixed",
+    )
+    assert bp.compute_optimal_parameters()
+    bf = BloomFilter(bp)
+    di = np.arange(r_blind * r_blind, dtype=np.uint64)
+    bd_ins = (np.uint64(s_blind) * (di + np.uint64(r_blind))) % np.uint64(T)
+    keys_ins = (bd_ins << np.uint64(w_len)) | np.uint64(w)
+    bf.insert_u64_batch(
+        (keys_ins & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (keys_ins >> np.uint64(32)).astype(np.uint32),
+    )
+
+    total = ((100_000 + N - 1) // N) * N  # >= 100k, whole rows
+    rng = np.random.default_rng(7)
+    # Mix of near (inside radius) and far coordinates.
+    near_frac = rng.random(total) < 0.5
+    dx = rng.integers(-r_blind + 1, r_blind, total)
+    dy_cap = np.sqrt(np.maximum(r_blind**2 - 1 - dx**2, 0)).astype(np.int64)
+    dy = (rng.integers(0, 2**31, total) % (2 * dy_cap + 1)) - dy_cap
+    xa = np.where(near_frac, xb + dx, rng.integers(0, 4000, total))
+    ya = np.where(near_frac, yb + dy, rng.integers(0, 4000, total))
+    xa = xa.astype(np.uint64)
+    ya = ya.astype(np.uint64)
+
+    fn = jax.jit(
+        build_packed_pipeline_bf(ctx, sk, xb, yb, s_blind, r_blind, w, w_len)
+    )
+    args = make_packed_inputs(ctx, enc, xa, ya, jax.random.key(8))
+    got = np.asarray(
+        fn(*args, bf._bits_device(), bf._salts_device(), jnp.uint32(bf.table_size))
+    ).reshape(-1)
+
+    # Host oracle: clear blind distance -> packed key -> device batch probe
+    # (contains_u64_batch is itself pinned against host scalars in
+    # tests/test_primitives.py).
+    d2 = (xa.astype(np.int64) - xb) ** 2 + (ya.astype(np.int64) - yb) ** 2
+    bd = (np.uint64(s_blind) * ((d2.astype(np.uint64)) + np.uint64(r_blind))) % np.uint64(T)
+    keys = (bd << np.uint64(w_len)) | np.uint64(w)
+    want = np.asarray(
+        bf.contains_u64_batch(
+            (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (keys >> np.uint64(32)).astype(np.uint32),
+        )
+    )
+    assert got.shape[0] == total and total >= 100_000
+    assert (got == want).all()
+    # No false negatives, ever: every truly-near check must flag near.
+    assert got[d2 < r_blind * r_blind].all()
+    # Host-scalar spot check on a subsample (exact reference probe math).
+    idx = rng.choice(total, 64, replace=False)
+    for j in idx:
+        assert bool(got[j]) == bf.contains_u64(int(keys[j]))
