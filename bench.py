@@ -83,26 +83,28 @@ def build_multiply_fns(n=4096, batch=256):
       dual_wide — TWO independent 128-batch chains in one jit call (ILP:
                   overlapping chains measured ~9% faster per element than
                   one 256-batch chain; more chains/bigger batches regress)
-                  with the width-2 RNS-gadget relinearization (half the
-                  keyswitch NTTs, +5% measured; exactness pinned in
+                  with the PRODUCTION relinearization (make_keys_jit ->
+                  create_relin_keys -> default_relin_width picks the
+                  noise-bounded width-2 gadget at these parameters; half
+                  the keyswitch NTTs, +5% measured; exactness pinned in
                   tests/test_multiply.py::test_relinearize_wide_gadget)
-      dual_b128 — same chains with the classic per-limb gadget
-      single_b256 — the classic single-chain form, for the record
+      dual_b128 — same chains with the classic per-limb gadget (explicit
+                  width=1 keys), for the record
+      single_b256 — the production single-chain form, for the record
     """
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
     from pplp_tpu.bfv.behz import (
         RnsMultiplier,
-        create_relin_keys_wide,
+        create_relin_keys,
         make_keys_jit,
         relinearize,
-        relinearize_wide,
     )
 
     parms = EncryptionParameters.bfv(n, 1 << 16, profile="tpu")
     fns = {}
     try:
         ctx = BFVContext.build(parms, engine="four")
-        sk, rlk = make_keys_jit(ctx, 0)
+        sk, rlk = make_keys_jit(ctx, 0)  # rlk: production gadget width
         mul = RnsMultiplier(ctx)
         mr = lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk).polys
         ct1, ct2 = _synthetic_cts(ctx, batch, n)
@@ -110,18 +112,13 @@ def build_multiply_fns(n=4096, batch=256):
         h = batch // 2
         d1, d2 = _synthetic_cts(ctx, h, n)
         d3, d4 = _synthetic_cts(ctx, h, n)
-        dual = jax.jit(lambda a, b, c, d: (mr(a, b), mr(c, d)))
-        fns["dual_b128"] = (dual, (d1, d2, d3, d4), batch)
-        from pplp_tpu.bfv.behz import _digit_groups
-
-        groups = _digit_groups(ctx.L, 2)
-        rlk_w = jax.jit(
-            lambda key: create_relin_keys_wide(ctx, sk, key)[0]
+        rlk_w1 = jax.jit(
+            lambda key: create_relin_keys(ctx, sk, key, width=1)
         )(jax.random.key(2))
-        mrw = lambda a, b: relinearize_wide(
-            ctx, mul.multiply(a, b), rlk_w, groups
-        ).polys
-        dual_w = jax.jit(lambda a, b, c, d: (mrw(a, b), mrw(c, d)))
+        mr1 = lambda a, b: relinearize(ctx, mul.multiply(a, b), rlk_w1).polys
+        dual1 = jax.jit(lambda a, b, c, d: (mr1(a, b), mr1(c, d)))
+        fns["dual_b128"] = (dual1, (d1, d2, d3, d4), batch)
+        dual_w = jax.jit(lambda a, b, c, d: (mr(a, b), mr(c, d)))
         fns["dual_wide"] = (dual_w, (d1, d2, d3, d4), batch)
     except Exception as e:  # pragma: no cover
         _log({"multiply_engine_error": "four", "err": repr(e)[:160]})

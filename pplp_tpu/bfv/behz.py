@@ -431,24 +431,30 @@ class RnsMultiplier:
 @dataclass
 class KSwitchKeys:
     """RNS-gadget key-switching keys toward a target secret T:
-    key[i] = (b_i, a_i) in NTT domain, b_i = -(a_i s + e_i) + g_i T,
-    g_i = 1 mod q_i, 0 mod q_j. T = s^2 gives relinearization keys; T =
-    s(X^g) gives Galois keys.
+    key[j] = (b_j, a_j) in NTT domain, b_j = -(a_j s + e_j) + g_j T,
+    g_j = 1 mod prod(q_i, i in group j), 0 mod the other limbs. T = s^2
+    gives relinearization keys; T = s(X^g) gives Galois keys.
+
+    ``groups`` records the gadget's limb grouping (None == one digit per
+    limb, the classic gadget); it rides in the pytree aux data so
+    ``relinearize`` can dispatch the right digit decomposition from the
+    keys alone — ONE production relin config, selected at keygen.
 
     Registered as a pytree so key generation can run under ONE jit (eager
     keygen is hundreds of tiny dispatches — slow through the remote tunnel)."""
 
-    k0: Any  # [k, L, n] stacked b_i (with Shoup companions)
+    k0: Any  # [D, L, n] stacked b_j (with Shoup companions)
     k0_shoup: Any
     k1: Any
     k1_shoup: Any
+    groups: tuple | None = None
 
     def tree_flatten(self):
-        return (self.k0, self.k0_shoup, self.k1, self.k1_shoup), ()
+        return (self.k0, self.k0_shoup, self.k1, self.k1_shoup), (self.groups,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, groups=aux[0])
 
 
 RelinKeys = KSwitchKeys  # relin keys are key-switch keys for T = s^2
@@ -460,6 +466,41 @@ def _digit_groups(k: int, width: int):
     return tuple(
         tuple(range(i, min(i + width, k))) for i in range(0, k, width)
     )
+
+
+def default_relin_width(ctx: BFVContext) -> int:
+    """Noise-bounded gadget width for THIS context's parameters (the one
+    production relinearization config — VERDICT r4 task 6).
+
+    Keyswitch noise add ~ D * n * digit_max * B_err; require it at least
+    ``margin`` bits under Delta/2 = q/(2t). Width 2 halves the dominant
+    relin cost (one forward NTT per digit); wider digits need Garner
+    lifting (not implemented), so the result is capped at 2.
+
+    Examples at the shipped chains: tpu profile n=4096 (4 x ~27-bit,
+    t=2^16) -> width 2 (digit ~2^55, noise ~2^75 vs budget 2^92); SEAL m62
+    n=4096 (36+36+37, t=2^16) -> width 1 (a 2^73 digit would put the noise
+    at ~2^93, over the 2^92 budget); SEAL m62 n=8192 -> width 2."""
+    import math
+
+    margin_bits = 10
+    b_err_bits = 7  # CBD bound (|e| <= 2*eta = 12 < 2^7) with headroom
+    delta_half_bits = (ctx.q // ctx.t).bit_length() - 2
+    best = 1
+    for width in (2,):
+        groups = _digit_groups(ctx.L, width)
+        digit_bits = max(
+            sum(ctx.moduli[i].value.bit_length() for i in g) for g in groups
+        )
+        noise_bits = (
+            math.ceil(math.log2(len(groups)))
+            + ctx.n.bit_length()
+            + digit_bits
+            + b_err_bits
+        )
+        if noise_bits + margin_bits <= delta_half_bits:
+            best = width
+    return best
 
 
 def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key,
@@ -504,80 +545,136 @@ def create_kswitch_keys(ctx: BFVContext, sk, target_ntt, key,
     return KSwitchKeys(
         k0=stack(k0_rows), k0_shoup=row_shoup(k0_rows),
         k1=stack(k1_rows), k1_shoup=row_shoup(k1_rows),
+        groups=tuple(groups),
     )
 
 
-def create_relin_keys(ctx: BFVContext, sk, key, inject=None) -> KSwitchKeys:
+def create_relin_keys(ctx: BFVContext, sk, key, inject=None,
+                      width: int | None = None) -> KSwitchKeys:
+    """Relinearization keys at the production gadget width.
+
+    ``width=None`` selects :func:`default_relin_width` (the ONE production
+    config); explicit ``width`` overrides for experiments/tests. ``inject``
+    (known-answer vectors) implies the per-limb gadget unless width is
+    given, because the injected randomness list is per-digit."""
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
-    return create_kswitch_keys(ctx, sk, s2, key, inject=inject)
+    if width is None:
+        width = 1 if inject is not None else default_relin_width(ctx)
+    groups = _digit_groups(ctx.L, width)
+    return create_kswitch_keys(ctx, sk, s2, key, inject=inject, groups=groups)
 
 
 def create_relin_keys_wide(ctx: BFVContext, sk, key, width: int = 2):
-    """Relin keys over a wider RNS gadget: digits are |c2| mod (q_i..q_j)
-    for consecutive limb groups. Halving the digit count (width=2) halves
-    the keyswitch forward-NTT work — the dominant relin cost — at the price
-    of ~2^28x larger digit magnitude in the noise term, still far inside
-    the budget at the protocol's parameters (digit < 2^56, noise add
-    ~ D*n*digit*B ~ 2^75 vs Delta/2 ~ 2^92 at n=4096, t=2^16).
-    m31 profile only. Returns (keys, groups)."""
-    assert ctx.tables.profile == "m31", "wide gadget: m31 profile only"
+    """Back-compat wrapper: relin keys at an explicit gadget width.
+    Returns (keys, groups); ``relinearize`` now reads the groups from the
+    keys, so new code should call ``create_relin_keys`` directly."""
+    keys = create_relin_keys(ctx, sk, key, width=width)
+    return keys, keys.groups
+
+
+def lift_digit_grouped(ctx: BFVContext, poly, group):
+    """Lift gadget digit |poly| mod prod(q_i, i in group) into every limb.
+
+    Width 1: plain residue broadcast-reduce. Width 2 (both profiles): CRT
+    compose x = r0 + q0*t with t = (r1 - r0)*q0^{-1} mod q1, then reduce
+    x per limb as (r0 mod q_i) + (q0 mod q_i)*t mod q_i — all
+    coefficient-wise, so it works on any lane-sharded slice too
+    (DistMultiplier reuses it per shard)."""
     p = ctx.prof
-    q2 = ctx.tables.q_b(1)
-    s2 = p.mulmod_shoup(sk.s_ntt, sk.s_ntt, sk.s_shoup, q2)
-    groups = _digit_groups(ctx.L, width)
-    return create_kswitch_keys(ctx, sk, s2, key, groups=groups), groups
+    tb = ctx.tables
+    moduli = [m.value for m in ctx.moduli]
+    if tb.profile == "m31":
+        q_col = tb.q[:, None]
+        mu_lo, mu_hi = (m[:, None] for m in tb.mu)
+        if len(group) == 1:
+            i = group[0]
+            digit = _tslice_limbs(poly, slice(i, i + 1))
+            return p.reduce64(
+                jnp.broadcast_to(digit, poly.shape), jnp.zeros_like(poly),
+                q_col, mu_lo, mu_hi,
+            )
+        assert len(group) == 2, "width>2 digits need Garner lifting"
+        i0, i1 = group
+        q0, q1v = moduli[i0], moduli[i1]
+        r0 = poly[..., i0 : i0 + 1, :]
+        r1 = poly[..., i1 : i1 + 1, :]
+        m1 = Modulus(q1v)
+        mu1_lo = jnp.uint32(m1.mu64 & _M32)
+        mu1_hi = jnp.uint32(m1.mu64 >> 32)
+        q1j = jnp.uint32(q1v)
+        # t = (r1 - r0) * q0^{-1} mod q1  (CRT mixing digit).
+        r0m = p.reduce64(r0, jnp.zeros_like(r0), q1j, mu1_lo, mu1_hi)
+        d = p.sub(r1, r0m, q1j)
+        inv01 = pow(q0, -1, q1v)
+        t = p.mulmod_shoup(
+            d, jnp.uint32(inv01), jnp.uint32((inv01 << 32) // q1v), q1j
+        )
+        r0_b = jnp.broadcast_to(r0, poly.shape)
+        r0_all = p.reduce64(r0_b, jnp.zeros_like(poly), q_col, mu_lo, mu_hi)
+        q0w = [q0 % qi for qi in moduli]
+        q0ws = [((q0 % qi) << 32) // qi for qi in moduli]
+        qt = p.mulmod_shoup(
+            jnp.broadcast_to(t, poly.shape),
+            _u32s(q0w)[:, None], _u32s(q0ws)[:, None], q_col,
+        )
+        return p.add(r0_all, qt, q_col)
+
+    # -- m62 profile (u32 limb pairs) -----------------------------------
+    q_col = _tmap(lambda a: a[:, None], tb.q)
+    ratio = tuple(m[:, None] for m in tb.mu)
+    zero_like = lambda a: jnp.zeros_like(a)
+
+    def bcast_reduce(r):  # r: (lo, hi) slices [..., 1, n] -> all limbs
+        lo = jnp.broadcast_to(r[0], poly[0].shape)
+        hi = jnp.broadcast_to(r[1], poly[0].shape)
+        return p.reduce128((lo, hi, zero_like(lo), zero_like(lo)), q_col, ratio)
+
+    if len(group) == 1:
+        i = group[0]
+        return bcast_reduce(_tmap(lambda a: a[..., i : i + 1, :], poly))
+    assert len(group) == 2, "width>2 digits need Garner lifting"
+    i0, i1 = group
+    q0, q1v = moduli[i0], moduli[i1]
+    r0 = _tmap(lambda a: a[..., i0 : i0 + 1, :], poly)
+    r1 = _tmap(lambda a: a[..., i1 : i1 + 1, :], poly)
+    m1 = Modulus(q1v)
+    pair = lambda v: (jnp.uint32(v & _M32), jnp.uint32(v >> 32))
+    q1p = pair(q1v)
+    ratio1 = tuple(jnp.uint32(w) for w in _split_ratio(m1.const_ratio))
+    r0m = p.reduce128(
+        (r0[0], r0[1], zero_like(r0[0]), zero_like(r0[0])), q1p, ratio1
+    )
+    d = p.sub(r1, r0m, q1p)
+    inv01 = pow(q0, -1, q1v)
+    t = p.mulmod_shoup(d, pair(inv01), pair((inv01 << 64) // q1v), q1p)
+    r0_all = bcast_reduce(r0)
+    t_b = _tmap(lambda a: jnp.broadcast_to(a, poly[0].shape), t)
+    q0w = _limb_split([q0 % qi for qi in moduli], 2)
+    q0ws = _limb_split([((q0 % qi) << 64) // qi for qi in moduli], 2)
+    qt = p.mulmod_shoup(t_b, q0w, q0ws, q_col)
+    return p.add(r0_all, qt, q_col)
+
+
+def _split_ratio(vals3):
+    """m62 const_ratio (3 u32 limbs as ints or tuple) -> 3 scalars."""
+    if isinstance(vals3, (tuple, list)):
+        return vals3
+    return ((vals3 >> 0) & _M32, (vals3 >> 32) & _M32, (vals3 >> 64) & _M32)
 
 
 def keyswitch_contributions_grouped(ctx: BFVContext, poly, keys: KSwitchKeys,
                                     groups):
-    """Grouped-digit keyswitch (m31): digit j = |poly| mod prod(q_i, i in
+    """Grouped-digit keyswitch: digit j = |poly| mod prod(q_i, i in
     group j), CRT-composed from the group's residues and lifted to every
     limb, then one forward NTT per digit instead of one per limb."""
     p = ctx.prof
     tb = ctx.tables
     q2 = tb.q_b(1)
-    q_col = tb.q[:, None]
-    mu_lo, mu_hi = (m[:, None] for m in tb.mu)
-    moduli = [m.value for m in ctx.moduli]
     acc0 = acc1 = None
     for j, group in enumerate(groups):
-        if len(group) == 1:
-            i = group[0]
-            digit = _tslice_limbs(poly, slice(i, i + 1))
-            lifted = p.reduce64(
-                jnp.broadcast_to(digit, poly.shape), jnp.zeros_like(poly),
-                q_col, mu_lo, mu_hi,
-            )
-        else:
-            assert len(group) == 2, "width>2 digits not implemented"
-            i0, i1 = group
-            q0, q1v = moduli[i0], moduli[i1]
-            r0 = poly[..., i0 : i0 + 1, :]
-            r1 = poly[..., i1 : i1 + 1, :]
-            m1 = Modulus(q1v)
-            mu1_lo = jnp.uint32(m1.mu64 & _M32)
-            mu1_hi = jnp.uint32(m1.mu64 >> 32)
-            q1j = jnp.uint32(q1v)
-            # t = (r1 - r0) * q0^{-1} mod q1  (CRT mixing digit).
-            r0m = p.reduce64(r0, jnp.zeros_like(r0), q1j, mu1_lo, mu1_hi)
-            d = p.sub(r1, r0m, q1j)
-            inv01 = pow(q0, -1, q1v)
-            t = p.mulmod_shoup(
-                d, jnp.uint32(inv01), jnp.uint32((inv01 << 32) // q1v), q1j
-            )
-            # x = r0 + q0*t < q0*q1; per limb: x mod q_i =
-            #   (r0 mod q_i) + (q0 mod q_i)*t mod q_i.
-            r0_b = jnp.broadcast_to(r0, poly.shape)
-            r0_all = p.reduce64(r0_b, jnp.zeros_like(poly), q_col, mu_lo, mu_hi)
-            q0w = [q0 % qi for qi in moduli]
-            q0ws = [((q0 % qi) << 32) // qi for qi in moduli]
-            qt = p.mulmod_shoup(
-                jnp.broadcast_to(t, poly.shape),
-                _u32s(q0w)[:, None], _u32s(q0ws)[:, None], q_col,
-            )
-            lifted = p.add(r0_all, qt, q_col)
+        lifted = lift_digit_grouped(ctx, poly, group)
         d_ntt = ntt.forward(lifted, tb)
         t0 = p.mulmod_shoup(
             d_ntt, jax.tree.map(lambda a: a[j], keys.k0),
@@ -593,14 +690,15 @@ def keyswitch_contributions_grouped(ctx: BFVContext, poly, keys: KSwitchKeys,
 
 
 def relinearize_wide(ctx: BFVContext, ct: Ciphertext, rlk: KSwitchKeys,
-                     groups) -> Ciphertext:
-    """Size-3 -> size-2 with the wide-gadget keys from
-    create_relin_keys_wide (same API shape as relinearize)."""
+                     groups=None) -> Ciphertext:
+    """Back-compat alias: ``relinearize`` now reads groups from the keys."""
     assert ct.size == 3 and ct.domain == "coeff"
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     c0, c1, c2 = ct.polys
-    d0, d1 = keyswitch_contributions_grouped(ctx, c2, rlk, groups)
+    d0, d1 = keyswitch_contributions_grouped(
+        ctx, c2, rlk, groups if groups is not None else rlk.groups
+    )
     return Ciphertext((p.add(c0, d0, q2), p.add(c1, d1, q2)), "coeff")
 
 
@@ -669,10 +767,16 @@ def keyswitch_contributions(ctx: BFVContext, poly, keys: KSwitchKeys):
 
 
 def relinearize(ctx: BFVContext, ct: Ciphertext, rlk: KSwitchKeys) -> Ciphertext:
-    """Size-3 -> size-2: key-switch c2 using the RNS gadget digits |c2|_{q_i}."""
+    """Size-3 -> size-2: key-switch c2 with the gadget the KEYS were built
+    for (keys.groups) — one production config, chosen at keygen by
+    ``default_relin_width``; per-limb keys take the classic fast path."""
     assert ct.size == 3 and ct.domain == "coeff"
     p = ctx.prof
     q2 = ctx.tables.q_b(1)
     c0, c1, c2 = ct.polys
-    d0, d1 = keyswitch_contributions(ctx, c2, rlk)
+    groups = rlk.groups
+    if groups is None or all(len(g) == 1 for g in groups):
+        d0, d1 = keyswitch_contributions(ctx, c2, rlk)
+    else:
+        d0, d1 = keyswitch_contributions_grouped(ctx, c2, rlk, groups)
     return Ciphertext((p.add(c0, d0, q2), p.add(c1, d1, q2)), "coeff")

@@ -221,9 +221,17 @@ def load_kswitch_keys(buf: bytes, ctx: BFVContext):
     shoup = lambda rows: jax.tree.map(
         lambda *xs: jnp.stack(xs), *[_shoup(ctx, r) for r in rows]
     )
+    # Reconstruct the gadget groups from the digit count (keys are always
+    # built with contiguous equal-width groups): D == L is the per-limb
+    # gadget; D < L implies width ceil(L/D).
+    from .behz import _digit_groups
+
+    width = (L + k - 1) // k
+    groups = _digit_groups(L, width)
     return KSwitchKeys(
         k0=stack(stacks[0]), k0_shoup=shoup(stacks[0]),
         k1=stack(stacks[1]), k1_shoup=shoup(stacks[1]),
+        groups=groups,
     )
 
 

@@ -69,9 +69,13 @@ class DistMultiplier:
         self.twq_i = _tw_shards(tb_q, S, inverse=True)
         self.twb_f = _tw_shards(tb_b, S, inverse=False)
         self.twb_i = _tw_shards(tb_b, S, inverse=True)
-        # Relin keys in the spectrum view [k, L, C2, c1] (c1 axis sharded).
+        # Gadget groups come FROM the keys (one production relin config —
+        # keygen picks the noise-bounded width, behz.default_relin_width).
         kq, n = ctx.L, ctx.n
-        spec_view = lambda a: a.reshape(kq, kq, C2, tb_q.c1)
+        self.groups = rlk.groups or tuple((i,) for i in range(kq))
+        D = len(self.groups)
+        # Relin keys in the spectrum view [D, L, C2, c1] (c1 axis sharded).
+        spec_view = lambda a: a.reshape(D, kq, C2, tb_q.c1)
         self.keys_spec = tuple(
             spec_view(a) for a in (rlk.k0, rlk.k0_shoup, rlk.k1, rlk.k1_shoup)
         )
@@ -149,21 +153,19 @@ class DistMultiplier:
                 mul._sk_to_q(mul._fast_floor(eq[j], eb[j])) for j in range(3)
             ]
 
-            # Relinearize: lift each gadget digit locally, dist-NTT, key dot.
-            mu2 = tuple(m[:, None] for m in ctx.tables.mu)
+            # Relinearize: lift each gadget digit locally (the CRT lift is
+            # coefficient-wise, so it runs unchanged on the lane-sharded
+            # slice), dist-NTT, key dot. Groups come from the keys.
+            from ..bfv.behz import lift_digit_grouped
+
             q2 = ctx.tables.q[:, None]
             acc0 = acc1 = None
-            for i in range(kq):
-                dig = jnp.broadcast_to(
-                    outs[2][..., i : i + 1, :], outs[2].shape
-                )
-                lifted = m31.reduce64(
-                    dig, jnp.zeros_like(dig), q2, mu2[0], mu2[1]
-                )
+            for j, group in enumerate(self.groups):
+                lifted = lift_digit_grouped(ctx, outs[2], group)
                 dn = self._fwd_local(coeff(lifted), tb_q, twqf, ax)
                 qs = tb_q.q[:, None, None]
-                t0 = m31.mulmod_shoup(dn, k0[i], k0s[i], qs)
-                t1 = m31.mulmod_shoup(dn, k1[i], k1s[i], qs)
+                t0 = m31.mulmod_shoup(dn, k0[j], k0s[j], qs)
+                t1 = m31.mulmod_shoup(dn, k1[j], k1s[j], qs)
                 acc0 = t0 if acc0 is None else m31.add(acc0, t0, qs)
                 acc1 = t1 if acc1 is None else m31.add(acc1, t1, qs)
             d0p = flat(self._inv_local(acc0, tb_q, twqi, ax))

@@ -164,3 +164,43 @@ def test_relinearize_wide_gadget():
         prod2 = relinearize_wide(ctx, mul.multiply(ca, cb), rlk, groups)
         assert prod2.size == 2
         assert dec.decrypt(prod2).coeffs[:N] == negacyclic(a, b, T)
+
+
+def test_relinearize_grouped_m62_and_default_width():
+    """ONE production relin config (round-5): create_relin_keys picks the
+    noise-bounded gadget width per context, relinearize dispatches on the
+    keys' groups — including the m62 profile's width-2 CRT lift; and the
+    SEAL n=4096 chain must stay per-limb (a 2^73 digit overflows the
+    budget)."""
+    from pplp_tpu.bfv.behz import default_relin_width
+
+    # m62 chain with room for width 2: 4 x ~40-bit primes, t=2^16.
+    chain = get_primes(40, 4, N)
+    parms = EncryptionParameters.bfv(N, T, coeff_modulus=chain)
+    ctx = BFVContext.build(parms)
+    assert ctx.tables.profile == "m62"
+    assert default_relin_width(ctx) == 2
+    kg = KeyGenerator(ctx, 21)
+    sk, pk = kg.secret_key(), kg.create_public_key()
+    enc, dec = Encryptor(ctx, pk), Decryptor(ctx, sk)
+    mul = RnsMultiplier(ctx)
+    rlk = create_relin_keys(ctx, sk, jax.random.key(31))
+    assert rlk.groups == ((0, 1), (2, 3))
+
+    rng = np.random.default_rng(41)
+    a = [int(v) for v in rng.integers(0, T, size=N)]
+    b = [int(v) for v in rng.integers(0, T, size=N)]
+    ca = enc.encrypt(Plaintext(a), jax.random.key(42))
+    cb = enc.encrypt(Plaintext(b), jax.random.key(43))
+    prod2 = relinearize(ctx, mul.multiply(ca, cb), rlk)
+    assert prod2.size == 2
+    assert dec.decrypt(prod2).coeffs[:N] == negacyclic(a, b, T)
+
+    # SEAL-profile n=4096-equivalent chain (36+36+37): width 2 would put
+    # the keyswitch noise over Delta/2 -> the default must stay per-limb.
+    from pplp_tpu.bfv.context import BFVContext as _Ctx
+
+    chain_seal = get_primes(36, 2, N) + get_primes(37, 1, N)
+    parms_seal = EncryptionParameters.bfv(N, T, coeff_modulus=chain_seal)
+    ctx_seal = _Ctx.build(parms_seal)
+    assert default_relin_width(ctx_seal) == 1
