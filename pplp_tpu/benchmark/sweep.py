@@ -206,7 +206,9 @@ def _run_server(chan: Channel, cfg: ProtocolConfig, recv_pk: bool):
     with st.timed("homoCalc"):
         bd_blob = server.blind_distance_message()
     with st.timed("sendBF"):
-        chan.send_frame(server.bf_message())
+        from ..protocol.roles import send_bf
+
+        send_bf(chan, server)
     with st.timed("sendBD"):
         chan.send_frame(bd_blob)
     d_total = st.total()

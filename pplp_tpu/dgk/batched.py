@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,16 +97,29 @@ class DGKBatch:
         u = self.pub.u
         m_steps = math.isqrt(u) + 1
         G = pow(priv.g, priv.vpq, priv.n)
-        giant = jnp.asarray(to_digits([pow(G, -m_steps, priv.n)], mc.D))
+        # Montgomery-domain giant step: mont_mul(z_std, gR) = z*g keeps z in
+        # the standard domain with ONE product per step (no per-step
+        # to_mont), and lax.scan keeps the graph one block deep regardless
+        # of sqrt(u) (an unrolled loop of ~257 block-CIOS products is an
+        # XLA:CPU compile blowup).
+        giant_m = mc.to_mont(
+            jnp.asarray(to_digits([pow(G, -m_steps, priv.n)], mc.D))
+        )
         z = mc.powmod_shared_exp(cts, priv.vpq)
         miss = jnp.uint32(DGKDeviceTable.MISS)
         out = jnp.full(z.shape[0], miss, jnp.uint32)
         n_giant = (u + m_steps - 1) // m_steps + 1
-        for i in range(n_giant):
+
+        def body(carry, i):
+            z, out = carry
             j = btab.lookup(z)
             hit = (j != miss) & (out == miss)
-            out = jnp.where(hit, jnp.uint32(i * m_steps) + j, out)
-            z = mc.mulmod(z, giant)
+            out = jnp.where(hit, i * jnp.uint32(m_steps) + j, out)
+            return (mc.mont_mul(z, giant_m), out), None
+
+        (_, out), _ = jax.lax.scan(
+            body, (z, out), jnp.arange(n_giant, dtype=jnp.uint32)
+        )
         return out
 
     # -- the comparison/proximity pipeline ------------------------------

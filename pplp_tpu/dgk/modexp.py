@@ -104,44 +104,65 @@ class MontgomeryCtx:
         use_diff = borrow == 0  # no final borrow => a >= n
         return jnp.where(use_diff[..., None], diffs, a)
 
+    # Digits of `a` consumed per scan step (the W fused steps unroll in the
+    # scan body and fuse into few sweeps).
+    BLOCK_W = 8
+
     def mont_mul(self, a, b):
         """Montgomery product REDC(a*b): [B, D] x [B or 1, D] -> [B, D].
 
-        Inputs normalized (< n); output normalized in [0, n).
+        Round-5 formulation (scripts/r5_dgk_cios_ab.py): each CIOS digit
+        step builds the shifted accumulator as ONE expression of aligned
+        concats + adds — no scatter (.at[]) updates, which XLA materializes
+        individually (~8 sweeps/step). Measured 7.2x faster than the
+        round-4 scatter form (1.46 vs 10.55 ms per [10000, 129] product).
+
+        Inputs normalized (< n); output normalized in [0, n). Carry-save
+        columns stay exact: each digit step adds < 2^18 per column plus the
+        dropped column's carry, so columns stay < 4*D*2^16 < 2^32 for
+        D <= 2^13.
         """
         D = self.D
         n = self.n
         npr = self.n_prime
+        W = self.BLOCK_W
         B_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        t = jnp.zeros(B_shape + (D + 1,), jnp.uint32)
         b_b = jnp.broadcast_to(b, B_shape + (D,))
+        zero1 = jnp.zeros(B_shape + (1,), jnp.uint32)
+        zeroD = jnp.zeros(B_shape + (D,), jnp.uint32)
 
         def step(t, a_i):
-            # t += a_i * b  (carry-save: lo into col j, hi into col j+1)
-            a_i = a_i.reshape(B_shape + (1,))
-            p = a_i * b_b  # 16x16 -> 32 bits exact
-            t = t.at[..., :D].add(p & MASK)
-            t = t.at[..., 1:].add(p >> DIGIT_BITS)
-            # m = t0 * n' mod 2^16 ; t += m * n
-            m = (t[..., 0] * npr) & MASK
+            """t' (post-shift) [j] = t[j+1] + lo[j+1] + hi[j] + carry*(j==0)
+            where lo/hi are the 16-bit halves of a_i*b + m*n and m is the
+            REDC multiplier from column 0's full value."""
+            p = a_i.reshape(B_shape + (1,)) * b_b  # 16x16 -> 32 bits exact
+            m = ((t[..., 0] + (p[..., 0] & MASK)) * npr) & MASK
             q = m[..., None] * n
-            t = t.at[..., :D].add(q & MASK)
-            t = t.at[..., 1:].add(q >> DIGIT_BITS)
-            # shift one digit: t[0] is now = 0 mod 2^16; carry its high part.
-            carry = t[..., 0] >> DIGIT_BITS
-            t = jnp.concatenate(
-                [t[..., 1:], jnp.zeros(B_shape + (1,), jnp.uint32)], axis=-1
-            )
-            t = t.at[..., 0].add(carry)
+            lo = (p & MASK) + (q & MASK)
+            hi = (p >> DIGIT_BITS) + (q >> DIGIT_BITS)
+            carry = (t[..., 0] + lo[..., 0]) >> DIGIT_BITS
+            shifted_t = jnp.concatenate([t[..., 1:], zero1], -1)
+            lo_sh = jnp.concatenate([lo[..., 1:], zero1, zero1], -1)
+            hi_al = jnp.concatenate([hi, zero1], -1)
+            c0 = jnp.concatenate([carry[..., None], zeroD], -1)
+            return shifted_t + lo_sh + hi_al + c0
+
+        def block(t, a_blk):  # a_blk: [W, *B_shape]
+            for w in range(W):
+                t = step(t, a_blk[w])
             return t, None
 
         a_cols = jnp.moveaxis(jnp.broadcast_to(a, B_shape + (D,)), -1, 0)
-        t, _ = jax.lax.scan(step, t, a_cols)
+        nb, tail = D // W, D % W
+        t = jnp.zeros(B_shape + (D + 1,), jnp.uint32)
+        if nb:
+            main = a_cols[: nb * W].reshape((nb, W) + B_shape)
+            t, _ = jax.lax.scan(block, t, main)
+        for i in range(tail):
+            t = step(t, a_cols[nb * W + i])
         t = self._normalize(t)
-        # t < 2n: top digit beyond D must fold in before the conditional sub.
-        main, top = t[..., :D], t[..., D]
-        # top can only be 0 here after normalize (t < 2n < 2^(16D)); drop it.
-        return self._cond_sub_n(main)
+        # t < 2n < 2^(16D), so the top normalized digit is 0; drop it.
+        return self._cond_sub_n(t[..., :D])
 
     def to_mont(self, a):
         return self.mont_mul(a, self.r2.reshape((1,) * (a.ndim - 1) + (-1,)))

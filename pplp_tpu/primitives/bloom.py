@@ -485,17 +485,58 @@ class BloomFilter:
     def compute_serialization_size(self) -> int:
         return _HDR.size + 4 * len(self.salts) + self.table_size // 8
 
-    def serialize(self) -> bytes:
-        self._sync_host()
-        head = _HDR.pack(
+    def _header_bytes(self) -> bytes:
+        return _HDR.pack(
             self.salt_count,
             self.table_size,
             self.projected_element_count,
             self.inserted_element_count,
             self.random_seed,
             self.desired_fpp,
-        )
-        return head + self.salts.tobytes() + self.bit_table.tobytes()
+        ) + self.salts.tobytes()
+
+    def serialize(self) -> bytes:
+        self._sync_host()
+        return self._header_bytes() + self.bit_table.tobytes()
+
+    def iter_serialized(self, chunk_bytes: int = 4 << 20):
+        """Yield the exact ``serialize()`` byte stream incrementally.
+
+        When the table lives on device, the packed bit table is fetched in
+        ``chunk_bytes`` slices with ``copy_to_host_async`` issued for ALL
+        slices up front, so later chunks cross the (slow, tunneled) host
+        link WHILE earlier chunks are being consumed — e.g. written to a
+        socket (``Channel.send_frame_stream``). At r=8192 the 161 MB fetch
+        was the single largest protocol stage (81 s, docs/benchmarks.md);
+        overlap hides it behind the wire transfer. Also refreshes the host
+        ``bit_table`` cache, so a later ``serialize()`` is free."""
+        yield self._header_bytes()
+        if self._device_bits is None or not getattr(self, "_host_dirty", False):
+            table = self.bit_table.tobytes()
+            for off in range(0, len(table), chunk_bytes):
+                yield table[off : off + chunk_bytes]
+            return
+        import jax
+
+        packed = _pack_bits_fn(int(self._device_bits.shape[0]))(self._device_bits)
+        nbytes = int(packed.shape[0])
+        rows = max(1, (nbytes + chunk_bytes - 1) // chunk_bytes)
+        dev_rows = [
+            packed[i * chunk_bytes : min((i + 1) * chunk_bytes, nbytes)]
+            for i in range(rows)
+        ]
+        for r in dev_rows:
+            try:
+                r.copy_to_host_async()
+            except Exception:  # backend without async copies: sync fallback
+                break
+        host_rows = []
+        for r in dev_rows:
+            h = np.asarray(jax.device_get(r))
+            host_rows.append(h)
+            yield h.tobytes()
+        self.bit_table = np.concatenate(host_rows) if host_rows else self.bit_table
+        self._host_dirty = False
 
     @classmethod
     def deserialize(cls, buf: bytes, index_mode: str = "reference") -> "BloomFilter":
@@ -615,6 +656,13 @@ class CompressibleBloomFilter(BloomFilter):
 
     def compute_serialization_size(self) -> int:
         return super().compute_serialization_size() + 2 + 8 * len(self.size_list)
+
+    def iter_serialized(self, chunk_bytes: int = 4 << 20):
+        # The compressible wire format interleaves the size chain; stream it
+        # from the fully-serialized bytes (tables are small post-compress).
+        data = self.serialize()
+        for off in range(0, len(data), chunk_bytes):
+            yield data[off : off + chunk_bytes]
 
     def compress(self, percentage: float) -> bool:
         if not (0.0 < percentage < 100.0):

@@ -49,7 +49,9 @@ def run_server_protocol(chan: Channel, cfg: ProtocolConfig, verbose=True):
     blobs = [chan.recv_frame() for _ in range(3)]
     server.receive_ciphertexts(blobs)
     log("Recv 3 ciphertexts")
-    chan.send_frame(server.bf_message())
+    from .roles import send_bf
+
+    send_bf(chan, server)
     log("Send w || BF")
     chan.send_frame(server.blind_distance_message())
     log("Send blind distance")

@@ -40,7 +40,18 @@ from ..primitives import Blinding, BloomFilter, BloomParameters, blind_distance_
 from ..utils.hexcodec import get_bitlen, hex_string_to_uint, uint64_to_hex_string
 from .config import ProtocolConfig
 
-__all__ = ["ProximityClient", "ProximityServer"]
+__all__ = ["ProximityClient", "ProximityServer", "send_bf"]
+
+
+def send_bf(chan, server) -> int:
+    """Send w || BF, streaming the table when the channel supports it (the
+    Python Channel does; the ctypes native channel falls back to one-shot).
+    Wire bytes are identical either way."""
+    if hasattr(chan, "send_frame_stream"):
+        return chan.send_frame_stream(
+            server.bf_message_size(), server.bf_message_chunks()
+        )
+    return chan.send_frame(server.bf_message())
 
 
 def _rng_key(seed):
@@ -202,6 +213,16 @@ class ProximityServer:
 
     def bf_message(self) -> bytes:
         return struct.pack("<Q", self.blinding.w) + self.bf.serialize()
+
+    def bf_message_size(self) -> int:
+        return 8 + self.bf.compute_serialization_size()
+
+    def bf_message_chunks(self):
+        """Chunked form of ``bf_message`` (same bytes): the packed table is
+        fetched device->host slice by slice while earlier slices go out on
+        the wire (send_bf / Channel.send_frame_stream)."""
+        yield struct.pack("<Q", self.blinding.w)
+        yield from self.bf.iter_serialized()
 
     def receive_ciphertexts(self, blobs: list[bytes]):
         self.c1, self.c2, self.c3 = (

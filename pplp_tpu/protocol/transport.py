@@ -40,6 +40,26 @@ class Channel:
         self.bytes_sent += n
         return len(payload)
 
+    def send_frame_stream(self, total_len: int, chunks) -> int:
+        """Length-framed send from an iterator of byte chunks: the SAME wire
+        bytes as ``send_frame(b"".join(chunks))``, but each chunk hits the
+        socket as soon as it exists — the producer (e.g. the Bloom filter's
+        chunked device fetch, ``BloomFilter.iter_serialized``) overlaps with
+        the transfer instead of serializing fully first."""
+        header = str(total_len).encode().ljust(SIZE_BUFFER, b"\x00")
+        self.sock.sendall(header)
+        sent = 0
+        for chunk in chunks:
+            if chunk:
+                self.sock.sendall(chunk)
+                sent += len(chunk)
+        if sent != total_len:
+            raise ConnectionError(
+                f"stream length mismatch: declared {total_len}, sent {sent}"
+            )
+        self.bytes_sent += SIZE_BUFFER + sent
+        return sent
+
     # Reject absurd frame claims before allocating (the reference trusts the
     # peer's ASCII header unconditionally — util.h:58-63).
     MAX_FRAME = 1 << 32

@@ -206,3 +206,41 @@ def test_large_radius_bf_regime():
     assert all(
         bf2.contains_u64(int(keys[i])) for i in probe
     )
+
+
+def test_iter_serialized_matches_serialize_and_streams_on_wire():
+    # Streamed serialization (round-5, VERDICT r4 task 5): the chunked
+    # device-fetch path must produce byte-identical output to serialize(),
+    # and Channel.send_frame_stream must frame it identically to a one-shot
+    # send_frame.
+    import socket
+    import threading
+
+    from pplp_tpu.protocol.transport import Channel
+
+    bf_a = make_bf(count=5000)
+    bf_b = make_bf(count=5000)
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 64, size=4000, dtype=np.uint64)
+    klo = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    khi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+    bf_a.insert_u64_batch(klo, khi)
+    bf_b.insert_u64_batch(klo, khi)
+
+    stream = b"".join(bf_a.iter_serialized(chunk_bytes=1024))
+    assert stream == bf_b.serialize()
+    assert len(stream) == bf_a.compute_serialization_size()
+    # iter_serialized also refreshed the host cache:
+    assert bf_a.serialize() == stream
+
+    s1, s2 = socket.socketpair()
+    tx, rx = Channel(s1), Channel(s2)
+    got = {}
+    th = threading.Thread(target=lambda: got.update(b=rx.recv_frame()))
+    th.start()
+    sent = tx.send_frame_stream(
+        len(stream), (stream[o : o + 777] for o in range(0, len(stream), 777))
+    )
+    th.join(timeout=30)
+    assert sent == len(stream) and got["b"] == stream
+    s1.close(), s2.close()
