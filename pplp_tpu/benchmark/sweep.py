@@ -250,10 +250,46 @@ def test_server_opt(chan, radius, xb, yb, profile="seal"):
     return _run_server(chan, cfg, recv_pk=False)
 
 
+def _prewarm(args, role: str):
+    """One untimed in-process protocol round before the first connect.
+
+    The sweep's first timed radius otherwise absorbs BOTH processes'
+    startup (jax/device init, stage executables — even as compile-cache
+    hits they are tens of serialized tunnel dispatches): the round-4 record
+    showed r=16 leg = 451 s against a 2 s steady state. The reference's own
+    first radius measures only protocol work (test_client.cc:52-69), so
+    pre-warming is parity, not flattery. Disable with PPLP_SWEEP_PREWARM=0.
+    """
+    import os
+    import time as _time
+
+    if os.environ.get("PPLP_SWEEP_PREWARM", "1") == "0":
+        return
+    from ..protocol.demo import run_local_demo
+
+    t0 = _time.perf_counter()
+    cfg = ProtocolConfig(
+        radius=16,
+        plain_modulus_bits=getattr(args, "plain_modulus_bits", 40),
+        poly_modulus_degree_bits=getattr(args, "poly_modulus_degree", 12),
+        false_positive_probability=1e-4,
+        profile=args.profile,
+    )
+    run_local_demo(cfg, verbose=False)
+    # The leg variant additionally serializes the public key; warm those
+    # two executables too (round-5: their eager form cost ~133 s/side in
+    # the first leg radius, the jitted form one compile each).
+    client = ProximityClient(cfg)
+    client.keygen()
+    load_public_key(save_public_key(client.pk, client.ctx), client.ctx)
+    print(f"{role} prewarm done in {_time.perf_counter() - t0:.1f}s")
+
+
 def tc_main(args) -> int:
     """Benchmark client: sweep leg then opt, write client_leg/opt CSVs."""
     from ..protocol.transport import connect_to_server
 
+    _prewarm(args, "tc")
     chan = connect_to_server(args.host, args.port, ipv6=args.ipv6)
     try:
         radii = _radii(args)
@@ -279,6 +315,7 @@ def ts_main(args) -> int:
     """Benchmark server: counterpart of tc_main, writes server_leg/opt CSVs."""
     from ..protocol.transport import connect_to_client
 
+    _prewarm(args, "ts")  # before bind: LISTEN then signals readiness
     chan = connect_to_client(args.host, args.port, ipv6=args.ipv6)
     try:
         radii = _recv_radii(chan)

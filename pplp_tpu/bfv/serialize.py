@@ -21,6 +21,33 @@ from .ciphertext import Ciphertext
 from .context import BFVContext
 from .params import SCHEME_BFV, EncryptionParameters
 
+
+def _jit_inverse(tb):
+    """One-compile NTT inverse for serialization (memoized on the tables).
+
+    Eager ``ntt.inverse`` dispatches every butterfly stage as its own op;
+    through the tunneled backend each unique op pays its own compile, and
+    the leg sweep's first pk save/load measured ~133 s per side from
+    exactly this (round-5 forensics). One jitted executable is one compile,
+    persistent-cacheable, one dispatch."""
+    fn = getattr(tb, "_ser_inv_jit", None)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda p: ntt.inverse(p, tb))
+        tb._ser_inv_jit = fn
+    return fn
+
+
+def _jit_forward(tb):
+    fn = getattr(tb, "_ser_fwd_jit", None)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda p: ntt.forward(p, tb))
+        tb._ser_fwd_jit = fn
+    return fn
+
 __all__ = [
     "save_parms",
     "load_parms",
@@ -113,7 +140,7 @@ def save_public_key(pk, ctx: BFVContext) -> bytes:
     widths = _limb_widths(ctx)
     out = [_MAGIC_PK, struct.pack("<QH", ctx.n, ctx.L)]
     for poly in (pk.pk0_ntt, pk.pk1_ntt):
-        coeff = ntt.inverse(poly, ctx.tables)
+        coeff = _jit_inverse(ctx.tables)(poly)
         out.append(_pack_residues(ntt.to_numpy(coeff, ctx.tables), widths))
     return b"".join(out)
 
@@ -129,7 +156,7 @@ def load_public_key(buf: bytes, ctx: BFVContext):
     polys = []
     for _ in range(2):
         res, off = _unpack_residues(buf, off, n, widths)
-        polys.append(ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables))
+        polys.append(_jit_forward(ctx.tables)(ntt.to_device(res, ctx.tables)))
     return PublicKey(
         pk0_ntt=polys[0],
         pk1_ntt=polys[1],
@@ -140,7 +167,7 @@ def load_public_key(buf: bytes, ctx: BFVContext):
 
 def save_secret_key(sk, ctx: BFVContext) -> bytes:
     widths = _limb_widths(ctx)
-    coeff = ntt.inverse(sk.s_ntt, ctx.tables)
+    coeff = _jit_inverse(ctx.tables)(sk.s_ntt)
     return b"".join(
         [
             _MAGIC_SK,
@@ -158,7 +185,7 @@ def load_secret_key(buf: bytes, ctx: BFVContext):
     assert n == ctx.n and L == ctx.L, "secret key/context mismatch"
     off = 8 + struct.calcsize("<QH")
     res, off = _unpack_residues(buf, off, n, _limb_widths(ctx))
-    s = ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables)
+    s = _jit_forward(ctx.tables)(ntt.to_device(res, ctx.tables))
     return SecretKey(s_ntt=s, s_shoup=_shoup(ctx, s))
 
 
@@ -193,7 +220,7 @@ def save_kswitch_keys(keys, ctx: BFVContext) -> bytes:
     for rows in (keys.k0, keys.k1):
         for i in range(k):
             row = jax.tree.map(lambda a: a[i], rows)
-            coeff = ntt.inverse(row, ctx.tables)
+            coeff = _jit_inverse(ctx.tables)(row)
             out.append(_pack_residues(ntt.to_numpy(coeff, ctx.tables), widths))
     return b"".join(out)
 
@@ -215,7 +242,7 @@ def load_kswitch_keys(buf: bytes, ctx: BFVContext):
         rows = []
         for _ in range(k):
             res, off = _unpack_residues(buf, off, n, widths)
-            rows.append(ntt.forward(ntt.to_device(res, ctx.tables), ctx.tables))
+            rows.append(_jit_forward(ctx.tables)(ntt.to_device(res, ctx.tables)))
         stacks.append(rows)
     stack = lambda rows: jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
     shoup = lambda rows: jax.tree.map(
@@ -246,7 +273,7 @@ def save_sp_keys(spk, ctx: BFVContext) -> bytes:
     for rows in (spk.k0, spk.k1):
         for i in range(k):
             row = jax.tree.map(lambda a: a[i], rows)
-            coeff = ntt.inverse(row, ctx_qp.tables)
+            coeff = _jit_inverse(ctx_qp.tables)(row)
             out.append(_pack_residues(ntt.to_numpy(coeff, ctx_qp.tables), widths))
     return b"".join(out)
 
@@ -273,7 +300,7 @@ def load_sp_keys(buf: bytes, ctx: BFVContext):
         for _ in range(k):
             res, off = _unpack_residues(buf, off, n, widths)
             rows.append(
-                ntt.forward(ntt.to_device(res, ctx_qp.tables), ctx_qp.tables)
+                _jit_forward(ctx_qp.tables)(ntt.to_device(res, ctx_qp.tables))
             )
         stacks.append(rows)
     return make_sp_keys(ctx, ctx_qp, int(P), stacks[0], stacks[1])

@@ -499,7 +499,7 @@ class BloomFilter:
         self._sync_host()
         return self._header_bytes() + self.bit_table.tobytes()
 
-    def iter_serialized(self, chunk_bytes: int = 4 << 20):
+    def iter_serialized(self, chunk_bytes: int = 16 << 20):
         """Yield the exact ``serialize()`` byte stream incrementally.
 
         When the table lives on device, the packed bit table is fetched in
@@ -657,7 +657,7 @@ class CompressibleBloomFilter(BloomFilter):
     def compute_serialization_size(self) -> int:
         return super().compute_serialization_size() + 2 + 8 * len(self.size_list)
 
-    def iter_serialized(self, chunk_bytes: int = 4 << 20):
+    def iter_serialized(self, chunk_bytes: int = 16 << 20):
         # The compressible wire format interleaves the size chain; stream it
         # from the fully-serialized bytes (tables are small post-compress).
         data = self.serialize()
