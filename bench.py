@@ -249,7 +249,8 @@ def bench_ntt(n=8192, n_limbs=3, batch=10240, budget_s=60.0):
     lower bound of a perfectly fused transform kernel."""
     from pplp_tpu.utils.chipstate import measure_stream_peak_gbps, timed_chain_slope
 
-    peak_gbps, peak_med = measure_stream_peak_gbps(reps=3)
+    reps = 4 if budget_s >= 40 else 2
+    peak_gbps, peak_med = measure_stream_peak_gbps(reps=min(reps, 3))
     moduli = [Modulus(q) for q in get_primes(30, n_limbs, n)]
     best = None
     for engine in ("four", "four4"):
@@ -258,8 +259,12 @@ def bench_ntt(n=8192, n_limbs=3, batch=10240, budget_s=60.0):
             q = tb.q[:, None]
             bits = jax.random.bits(jax.random.key(0), (batch, n_limbs, n), jnp.uint32)
             x = bits % q  # mild bias irrelevant for benchmarking
-            fwd = jax.jit(lambda v, _tb=tb: ntt.forward(v, _tb))
-            b, m = timed_chain_slope(fwd, x, inners=(4, 12), reps=4)
+            # Chunked big-batch form: lax.map over 1024-row blocks in ONE
+            # jit call — the monolithic 10240-row graph loses ~42% to
+            # working-set locality (+73% measured,
+            # scripts/r5_ntt_bigbatch_ab.py; ops/ntt.forward_chunked).
+            fwd = jax.jit(lambda v, _tb=tb: ntt.forward_chunked(v, _tb))
+            b, m = timed_chain_slope(fwd, x, inners=(4, 12), reps=reps)
         except Exception as e:  # pragma: no cover - engine-specific fallback
             _log({"ntt_engine_error": engine, "err": repr(e)[:160]})
             continue

@@ -84,6 +84,34 @@ def test_batched_and_jitted():
         assert (ntt.to_numpy(one, tb).astype(object) == polys[i]).all()
 
 
+def test_chunked_matches_monolithic():
+    """forward_chunked/inverse_chunked == forward/inverse bit-exact (the
+    big-batch bench path: lax.map over chunk blocks inside one jit)."""
+    rng = np.random.default_rng(11)
+    n = 128
+    moduli = _chain([28, 27], n)
+    tb = ntt.build_tables(moduli, n)
+    batch = 8
+
+    polys = [_rand_residues(rng, moduli, n) for _ in range(batch)]
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs), *[ntt.to_device(p, tb) for p in polys]
+    )
+    fwd_ref = jax.jit(lambda x: ntt.forward(x, tb))(stacked)
+    fwd_chk = jax.jit(lambda x: ntt.forward_chunked(x, tb, chunk=2))(stacked)
+    for a, b in zip(jax.tree.leaves(fwd_ref), jax.tree.leaves(fwd_chk)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    inv_chk = jax.jit(lambda x: ntt.inverse_chunked(x, tb, chunk=2))(fwd_chk)
+    for i in range(batch):
+        one = jax.tree.map(lambda a: a[i], inv_chk)
+        assert (ntt.to_numpy(one, tb).astype(object) == polys[i]).all()
+    # Non-divisible and small batches fall through to the monolithic path.
+    odd = jax.tree.map(lambda a: a[:3], stacked)
+    f_odd = jax.jit(lambda x: ntt.forward_chunked(x, tb, chunk=2))(odd)
+    for a, b in zip(jax.tree.leaves(f_odd), jax.tree.leaves(fwd_ref)):
+        assert (np.asarray(a) == np.asarray(b)[:3]).all()
+
+
 def test_pointwise_linearity():
     # NTT(a) + NTT(b) == NTT(a+b) elementwise mod q.
     rng = np.random.default_rng(3)
