@@ -470,7 +470,10 @@ def _digit_groups(k: int, width: int):
 
 def default_relin_width(ctx: BFVContext) -> int:
     """Noise-bounded gadget width for THIS context's parameters (the one
-    production relinearization config — VERDICT r4 task 6).
+    production relinearization config — VERDICT r4 task 6). BFV rule ONLY:
+    it measures gadget noise against the Delta/2 = q/2t decryption headroom.
+    CKKS paths (no Delta; keyswitch error is message error) must pass
+    width=1 explicitly — ``ckks.ckks_create_relin_keys`` does.
 
     Keyswitch noise add ~ D * n * digit_max * B_err; require it at least
     ``margin`` bits under Delta/2 = q/(2t). Width 2 halves the dominant

@@ -30,7 +30,8 @@ from ..bfv.params import EncryptionParameters
 from ..bfv import sampling
 from ..ops import ntt
 
-__all__ = ["CKKSContext", "CKKSEncoder", "ckks_encrypt", "ckks_decrypt", "ckks_add"]
+__all__ = ["CKKSContext", "CKKSEncoder", "ckks_encrypt", "ckks_decrypt",
+           "ckks_add", "ckks_create_relin_keys"]
 
 
 @dataclass(frozen=True, eq=False)
@@ -128,11 +129,26 @@ def ckks_add(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     )
 
 
+def ckks_create_relin_keys(ctx: CKKSContext, sk, key):
+    """Relinearization keys for the CKKS path: always the width-1 (per-limb)
+    RNS gadget. The BFV production rule (``behz.default_relin_width``)
+    measures gadget noise against the Delta/2 = q/2t decryption headroom;
+    CKKS has no Delta — keyswitch error lands directly in the fixed-point
+    message error — so the smallest digit is the right config here (a
+    width-2 digit ~2^56 would swamp a 2^52-scale message; caught by
+    tests/test_ckks.py::test_ckks_multiply_rescale when the BFV default
+    widened)."""
+    from ..bfv.behz import create_relin_keys
+
+    return create_relin_keys(ctx.base, sk, key, width=1)
+
+
 def ckks_multiply(ctx: CKKSContext, a: Ciphertext, b: Ciphertext, rlk=None) -> Ciphertext:
     """CKKS ct-ct multiply: plain NTT tensor product mod q (no t/q scaling —
     the message scale squares; follow with ``ckks_rescale``). Relinearizes
-    when ``rlk`` is given: either bfv.behz.KSwitchKeys (RNS gadget; noise
-    ~q_i·B caps precision) or bfv.keyswitch.SPKeys (special prime; noise ~B —
+    when ``rlk`` is given: either bfv.behz.KSwitchKeys (RNS gadget; build
+    via :func:`ckks_create_relin_keys` — the BFV-default gadget width is
+    noise-unsafe for CKKS) or bfv.keyswitch.SPKeys (special prime; noise ~B —
     use this for multiplicative pipelines)."""
     base = ctx.base
     p = base.prof

@@ -78,8 +78,12 @@ def test_networked_aggregation_pair():
 
 
 def test_ckks_multiply_rescale():
-    from pplp_tpu.bfv.behz import create_relin_keys
-    from pplp_tpu.ckks.ckks import ckks_multiply, ckks_rescale, restrict_secret_key
+    from pplp_tpu.ckks.ckks import (
+        ckks_create_relin_keys,
+        ckks_multiply,
+        ckks_rescale,
+        restrict_secret_key,
+    )
     from pplp_tpu.ops.primes import get_primes
 
     chain = get_primes(28, 4, N)
@@ -87,7 +91,7 @@ def test_ckks_multiply_rescale():
     enc = CKKSEncoder(ctx)
     kg = KeyGenerator(ctx.base, 2)
     sk, pk = kg.secret_key(), kg.create_public_key()
-    rlk = create_relin_keys(ctx.base, sk, jax.random.key(3))
+    rlk = ckks_create_relin_keys(ctx, sk, jax.random.key(3))
 
     a = np.array([1.5, -2.0, 3.25, 0.5])
     b = np.array([2.0, 4.0, -1.0, 8.0])
