@@ -185,7 +185,7 @@ def bench_proximity_pipeline(n=4096, rows=25, budget_s=60.0):
 
     from pplp_tpu.bfv import BFVContext, EncryptionParameters
     from pplp_tpu.bfv.encryptor import Encryptor
-    from pplp_tpu.bfv.keys import KeyGenerator
+    from pplp_tpu.bfv.keys import make_sk_pk_jit
     from pplp_tpu.parallel.pipeline import (
         build_packed_pipeline_bf,
         make_packed_inputs,
@@ -197,8 +197,10 @@ def bench_proximity_pipeline(n=4096, rows=25, budget_s=60.0):
     w_len = w.bit_length()
     parms = EncryptionParameters.bfv(n, t, profile="tpu")
     ctx = BFVContext.build(parms, engine="four")
-    kg = KeyGenerator(ctx, 0)
-    sk, pk = kg.secret_key(), kg.create_public_key()
+    # ONE jitted graph each for keys and the three encryptions: eager setup
+    # measured 155 s (sk+pk) + 165 s (encrypt_pairs x3) of pure dispatch
+    # RTT in this phase and starved the driver wall budget (round 5).
+    sk, pk = make_sk_pk_jit(ctx, 0)
     enc = Encryptor(ctx, pk)
 
     # Server-side filter: keys s*(di+r) reduced mod t (the sound reduction —
@@ -327,9 +329,13 @@ def main():
         )
 
     emit_headline(value)
+    _log({"phase": "multiply_done", "t_elapsed_s": round(budget_s - remaining(), 1)})
 
     # Secondary metrics each get an explicit slice of what's left; order per
-    # VERDICT r3 (DGK and proximity must never be starved again).
+    # VERDICT r3 (DGK and proximity must never be starved again) — the two
+    # BASELINE config metrics run BEFORE the NTT microbench, which is the
+    # one to squeeze if the wall closes in (round-5: a 580 s driver timeout
+    # killed the proximity phase when it ran last).
     if remaining() > 40 and os.environ.get("PPLP_BENCH_DGK") != "0":
         try:
             rate = bench_dgk(budget_s=min(60.0, max(20.0, remaining() - 15)))
@@ -338,12 +344,35 @@ def main():
                     "metric": "dgk_comparisons_per_s_k2048",
                     "value": round(rate, 1),
                     "unit": "comparisons/s",
+                    "t_elapsed_s": round(budget_s - remaining(), 1),
                 }
             )
         except Exception as e:
             _log({"skipped": "dgk", "reason": repr(e)[:160]})
     else:
         _log({"skipped": "dgk", "reason": "bench time budget"})
+
+    if remaining() > 60:
+        try:
+            checks, secs, med = bench_proximity_pipeline(
+                budget_s=min(60.0, max(20.0, remaining() - 15))
+            )
+            _log(
+                {
+                    "metric": "proximity_checks_per_s_packed_n4096",
+                    "value": round(checks / secs, 1),
+                    "median": round(checks / med, 1),
+                    "unit": "checks/s",
+                    "includes_bf_probe": True,
+                    "batch_checks": checks,
+                    "batch_latency_ms": round(secs * 1e3, 2),
+                    "t_elapsed_s": round(budget_s - remaining(), 1),
+                }
+            )
+        except Exception as e:
+            _log({"skipped": "proximity_pipeline", "reason": repr(e)[:160]})
+    else:
+        _log({"skipped": "proximity_pipeline", "reason": "bench time budget"})
 
     if remaining() > 40:
         try:
@@ -365,33 +394,13 @@ def main():
                         roofline["min_sweeps"] / roofline["sweeps_equiv_at_peak"], 3
                     ),
                     **roofline,
+                    "t_elapsed_s": round(budget_s - remaining(), 1),
                 }
             )
         except Exception as e:
             _log({"skipped": "ntt", "reason": repr(e)[:160]})
     else:
         _log({"skipped": "ntt", "reason": "bench time budget"})
-
-    if remaining() > 40:
-        try:
-            checks, secs, med = bench_proximity_pipeline(
-                budget_s=min(60.0, max(20.0, remaining() - 15))
-            )
-            _log(
-                {
-                    "metric": "proximity_checks_per_s_packed_n4096",
-                    "value": round(checks / secs, 1),
-                    "median": round(checks / med, 1),
-                    "unit": "checks/s",
-                    "includes_bf_probe": True,
-                    "batch_checks": checks,
-                    "batch_latency_ms": round(secs * 1e3, 2),
-                }
-            )
-        except Exception as e:
-            _log({"skipped": "proximity_pipeline", "reason": repr(e)[:160]})
-    else:
-        _log({"skipped": "proximity_pipeline", "reason": "bench time budget"})
 
     # Contaminated-headline retry: if the first multiply measurement never
     # saw a healthy window and budget remains, measure again now.

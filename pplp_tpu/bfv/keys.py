@@ -17,7 +17,7 @@ from ..ops import ntt
 from . import sampling
 from .context import BFVContext
 
-__all__ = ["SecretKey", "PublicKey", "KeyGenerator"]
+__all__ = ["SecretKey", "PublicKey", "KeyGenerator", "make_sk_pk_jit"]
 
 
 def _shoup(ctx: BFVContext, w):
@@ -80,3 +80,30 @@ class KeyGenerator:
             pk0_shoup=_shoup(ctx, pk0),
             pk1_shoup=_shoup(ctx, a_ntt),
         )
+
+
+def make_sk_pk_jit(ctx: BFVContext, key):
+    """(SecretKey, PublicKey) generated under ONE compiled graph.
+
+    Eager ``KeyGenerator`` issues dozens of separate dispatches; on the
+    tunneled backend each pays the ~25-30 ms process RTT floor once big
+    graphs have run — sk+pk measured 155 s of wall clock in the round-5
+    proximity bench setup vs <1 s under one jit. Same discipline as
+    ``behz.make_keys_jit`` (sk+rlk)."""
+    if isinstance(key, int):
+        key = jax.random.key(key)
+
+    def f(k):
+        kg = KeyGenerator(ctx, k)
+        sk = kg.secret_key()
+        pk = kg.create_public_key()
+        return (
+            (sk.s_ntt, sk.s_shoup),
+            (pk.pk0_ntt, pk.pk1_ntt, pk.pk0_shoup, pk.pk1_shoup),
+        )
+
+    (s_ntt, s_shoup), (pk0, pk1, pk0s, pk1s) = jax.jit(f)(key)
+    return (
+        SecretKey(s_ntt=s_ntt, s_shoup=s_shoup),
+        PublicKey(pk0_ntt=pk0, pk1_ntt=pk1, pk0_shoup=pk0s, pk1_shoup=pk1s),
+    )

@@ -35,6 +35,26 @@ def roles(ctx, seed=1):
 
 
 @pytest.mark.parametrize("profile", ["m31", "m62"])
+def test_make_sk_pk_jit_matches_eager(profile):
+    """The one-graph keygen (bench/profile path) is bit-identical to the
+    eager KeyGenerator at the same seed."""
+    from pplp_tpu.bfv.keys import make_sk_pk_jit
+
+    ctx = make_ctx(profile, 1 << 16)
+    kg = KeyGenerator(ctx, 7)
+    sk_e, pk_e = kg.secret_key(), kg.create_public_key()
+    sk_j, pk_j = make_sk_pk_jit(ctx, 7)
+    for a, b in (
+        (sk_e.s_ntt, sk_j.s_ntt),
+        (pk_e.pk0_ntt, pk_j.pk0_ntt),
+        (pk_e.pk1_ntt, pk_j.pk1_ntt),
+        (pk_e.pk0_shoup, pk_j.pk0_shoup),
+    ):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            assert (np.asarray(x) == np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("profile", ["m31", "m62"])
 @pytest.mark.parametrize("t", [1 << 16, 65537])
 def test_encrypt_decrypt_roundtrip(profile, t):
     ctx = make_ctx(profile, t)
